@@ -1,0 +1,109 @@
+"""Random fields, pixel converters, interpolation operators."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from generative_physics_informed_pde_tpu.fem import (
+    StructuredTriGrid, PixelConverter, GaussianRandomField,
+    convert_log_mean_std, p1_interpolation_matrix,
+    physics_resolution_interpolator, DirichletProfile,
+    squared_exponential_covariance, pixel_center_points,
+)
+
+
+def test_pixel_roundtrip():
+    grid = StructuredTriGrid(4, 4)
+    conv = PixelConverter(grid)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(3, 4, 4)))
+    x = conv.image_to_function(img)
+    assert x.shape == (3, grid.n_cells)
+    back = conv.function_to_image(x)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), rtol=1e-12)
+
+
+def test_pixel_orientation():
+    """Pixel (0, 0) is the TOP-LEFT of the domain: its two cells sit in grid
+    square (ix=0, iy=ny-1)."""
+    grid = StructuredTriGrid(2, 2)
+    conv = PixelConverter(grid)
+    img = jnp.zeros((1, 2, 2)).at[0, 0, 0].set(1.0)
+    x = np.asarray(conv.image_to_function(img))[0]
+    hot = np.nonzero(x)[0]
+    mids = grid.cell_midpoints[hot]
+    assert np.all(mids[:, 0] < 0.5) and np.all(mids[:, 1] > 0.5)
+
+
+def test_grf_kl_truncation_and_moments():
+    rf = GaussianRandomField.from_image(8, 8, mean=0.4, stddev=0.8,
+                                        corrlength=0.15, truncation="adaptive")
+    assert rf.dim_in < rf.dim_out  # truncated
+    # reference semantics (RandomField.py:191-192): truncation index is the
+    # FIRST index whose cumulative explained variance exceeds 99.9%, and
+    # eigvals[:index] are kept -- so the crossing component itself is cut.
+    ev = np.cumsum(rf.eigvals) / np.sum(rf.eigvals)
+    assert ev[rf.dim_in] > 0.999 >= ev[rf.dim_in - 1]
+    key = jax.random.PRNGKey(0)
+    X = np.asarray(rf.sample(key, batch_size=4096, dtype=jnp.float64))
+    assert X.shape == (4096, 8, 8)
+    np.testing.assert_allclose(X.mean(), 0.4, atol=0.05)
+    np.testing.assert_allclose(X.std(), 0.8, atol=0.05)
+
+
+def test_grf_cholesky_covariance():
+    rf = GaussianRandomField.from_image(6, 6, mean=0.0, stddev=1.0,
+                                        corrlength=0.3, truncation=None)
+    key = jax.random.PRNGKey(1)
+    X = np.asarray(rf.sample(key, batch_size=20000, dtype=jnp.float64))
+    X = X.reshape(20000, -1)
+    C_emp = np.cov(X.T)
+    C = squared_exponential_covariance(pixel_center_points(6, 6), 1.0, 0.3)
+    np.testing.assert_allclose(C_emp, C, atol=0.06)
+
+
+def test_grf_fft_covariance():
+    rf = GaussianRandomField.from_image(8, 8, mean=0.2, stddev=0.7,
+                                        corrlength=0.1, method="fft")
+    key = jax.random.PRNGKey(2)
+    X = np.asarray(rf.sample(key, batch_size=20000, dtype=jnp.float64))
+    assert X.shape == (20000, 8, 8)
+    Xf = X.reshape(20000, -1)
+    C_emp = np.cov(Xf.T)
+    C = squared_exponential_covariance(pixel_center_points(8, 8), 0.7, 0.1)
+    np.testing.assert_allclose(C_emp, C, atol=0.05)
+    np.testing.assert_allclose(Xf.mean(), 0.2, atol=0.02)
+
+
+def test_convert_log_mean_std():
+    mu, sigma = convert_log_mean_std(1.0, 0.5)
+    # moments of the log-normal must reproduce mean/std
+    m = np.exp(mu + sigma ** 2 / 2)
+    s = np.sqrt((np.exp(sigma ** 2) - 1) * np.exp(2 * mu + sigma ** 2))
+    np.testing.assert_allclose([m, s], [1.0, 0.5], rtol=1e-12)
+
+
+def test_p1_interpolation_exact_for_linear():
+    """Coarse P1 interpolation must be exact for functions linear on every
+    coarse triangle -- in particular for globally linear u = a + bx + cy."""
+    coarse = StructuredTriGrid(4, 4)
+    fine = coarse.refined(2)
+    W = physics_resolution_interpolator(coarse, fine)
+    xyc = coarse.node_coords
+    xyf = fine.node_coords
+    for (a, b, c) in [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.2, -0.7, 1.3)]:
+        uc = a + b * xyc[:, 0] + c * xyc[:, 1]
+        uf = a + b * xyf[:, 0] + c * xyf[:, 1]
+        np.testing.assert_allclose(W @ uc, uf, rtol=1e-12, atol=1e-12)
+
+
+def test_interpolator_free_dof_restriction():
+    coarse = StructuredTriGrid(4, 4)
+    fine = coarse.refined(3)
+    prof = DirichletProfile(fine)
+    W = physics_resolution_interpolator(coarse, fine, free_dofs=prof.free_dofs)
+    assert W.shape == (prof.n_free, coarse.n_nodes)
+    # highres32 dims (SURVEY: 1023 free fine dofs x 25 rom dofs)
+    assert W.shape == (1023, 25)
+    # partition of unity
+    np.testing.assert_allclose(W.sum(1), 1.0, rtol=1e-12)
