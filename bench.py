@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark driver: SVI ELBO steps/sec at 64^2 (the BASELINE.json metric).
+
+Runs the 'highres' 64^2 recipe (the reference example workload scaled to
+the 64^2 preset) on the default accelerator, measures jitted SVI
+steps/sec, and compares against the same math executed on the host CPU
+backend (the stand-in for the PyTorch+FEniCS CPU reference, which cannot
+run here -- FEniCS is not installed -- and whose per-step work this
+framework reproduces exactly).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_trainer(steps_milestones=(250, 1500)):
+    import jax
+    from generative_physics_informed_pde_tpu.data import DataLoader
+    from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+    from generative_physics_informed_pde_tpu.training import (
+        TrainerParameters, CreateTrainerFromPermutation)
+
+    params = TrainerParameters()
+    params.identifier = "highres"
+    params.trainer["lr_init"] = 1e-2
+    params.trainer["N_monitor_interval"] = 10 ** 9  # no monitoring in bench
+    params.scheduler = {"milestones": list(steps_milestones),
+                        "factor": float(np.sqrt(0.1))}
+    params.data.update(N_u=1024, N_s=128, N_u_max=1024, N_s_max=128,
+                       N_vo_max=0, N_vo=0, N_val=128, armortized_bs=64,
+                       vo_spec={})
+
+    # 64^2 fields via the FFT path (fast, no 4096^2 eigh at bench time)
+    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
+    dl = DataLoader.from_sampler(rf, 128 + 128, key=jax.random.PRNGKey(0))
+    dlu = DataLoader.from_sampler(rf, 1024, key=jax.random.PRNGKey(1))
+    dlu.lock_physics_assembly()
+    trainer = CreateTrainerFromPermutation(
+        params, permutation=np.arange(dl.N), permutation_u=np.arange(dlu.N),
+        dl=dl, dlu=dlu)
+    return trainer, dl, dlu
+
+
+def measure_steps_per_sec(trainer, n_steps: int, warmup: int = 5) -> float:
+    import jax
+
+    dummy = trainer._vo_state or (np.zeros((1, 1), np.float32),) * 2
+    import jax.numpy as jnp
+    dummy = tuple(jnp.asarray(d) for d in dummy)
+    for _ in range(warmup):
+        trainer.state, logs = trainer._train_step(trainer.state, *dummy,
+                                                  holdoff=True)
+    jax.block_until_ready(logs["elbo"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.state, logs = trainer._train_step(trainer.state, *dummy,
+                                                  holdoff=True)
+    jax.block_until_ready(logs["elbo"])
+    return n_steps / (time.perf_counter() - t0)
+
+
+def measure_cg_solves_per_sec(physics, batch: int = 1024) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    fom = physics["fom"]
+    key = jax.random.PRNGKey(0)
+    alpha = jnp.exp(0.3 * jax.random.normal(
+        key, (batch, fom.grid.n_cells), dtype=jnp.float32))
+    theta = jax.random.uniform(key, (batch, 4), minval=-0.5, maxval=0.5)
+    vals = fom.profile.constrained_values(theta)
+    Y = fom.solve_batched(alpha, vals)     # compile
+    jax.block_until_ready(Y)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        Y = fom.solve_batched(alpha, vals)
+    jax.block_until_ready(Y)
+    return reps * batch / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    backend = jax.default_backend()
+    log(f"devices: {jax.devices()} (backend={backend})")
+
+    t0 = time.perf_counter()
+    trainer, dl, dlu = build_trainer()
+    log(f"setup (incl. {dl.N} batched 64^2 label solves): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    sps = measure_steps_per_sec(trainer, n_steps)
+    log(f"SVI steps/sec on {backend}: {sps:.2f}")
+
+    cg = measure_cg_solves_per_sec(trainer.physics)
+    log(f"batched 64^2 CG solves/sec on {backend}: {cg:.1f}")
+
+    # CPU baseline of the same jitted step (stand-in for the torch+FEniCS
+    # CPU reference)
+    vs_baseline = float("nan")
+    if backend != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                trainer_cpu, _, _ = build_trainer()
+                sps_cpu = measure_steps_per_sec(
+                    trainer_cpu, max(5, n_steps // 20), warmup=2)
+            log(f"SVI steps/sec on cpu: {sps_cpu:.2f}")
+            vs_baseline = sps / sps_cpu
+        except Exception as e:  # pragma: no cover
+            log(f"cpu baseline failed: {e}")
+
+    print(json.dumps({
+        "metric": "svi_elbo_steps_per_sec_64x64",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": (round(vs_baseline, 2)
+                        if np.isfinite(vs_baseline) else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

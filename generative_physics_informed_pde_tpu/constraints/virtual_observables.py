@@ -1,0 +1,647 @@
+"""Virtual observables: weak-form PDE residual constraints as free labels.
+
+TPU-native re-implementation of bottleneck/VirtualObservables.py (1093 LoC,
+the reference's most novel subsystem).  The idea (VirtualObservables.py:61-69):
+for an unlabeled conductivity field x the discrete PDE gives linear
+constraints on the unknown solution, ``Gamma y = alpha`` with
+``Gamma = V^T K_ff(x)`` and ``alpha = V^T f_eff`` for any test matrix V.
+Conditioning the model's predictive Gaussian over y on these constraints
+yields a virtual posterior used as a label substitute in the ELBO.
+
+Architectural differences from the reference:
+
+* No per-sample Python objects: the ensemble state is stacked arrays
+  (Gamma (N, m, d), alpha (N, m), mean/vars (N, d)) and every update is a
+  single vmapped, jitted kernel.
+* ``Gamma`` is built matrix-free: ``V^T K_ff = (K_ff V)^T`` via the stencil
+  operator (K symmetric), so no sparse matrices are ever materialised --
+  the reference assembles scipy CSR per sample
+  (LinearElliptic.py:137-159).
+* Test functions have closed forms: V=W for the coarse-grained residual
+  (:297-321), iid Gaussian sketches (:230-258), analytic RBFs evaluated at
+  free node coordinates (:172-228, replacing ``df.interpolate``), and the
+  structured-grid flux constraints (constraints/flux.py).
+* float64 conditioning when x64 is enabled (reference forces torch.double,
+  :419-420); on TPU the f32 path keeps the Cholesky well-scaled via the
+  learnable constraint-noise floor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.physics import LinearEllipticPhysics
+from .flux import FluxConstraintOperator
+
+
+# ---------------------------------------------------------------------------
+# Query-point ensemble: cached per-sample operator data
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class QuerryPointEnsemble:
+    """Stacked replacement for QuerryPoint/QuerryPointEnsemble
+    (reference: VirtualObservables.py:8-116): per unlabeled sample the
+    log-field x (DG0) and its Dirichlet values; K and f_eff are *functions*
+    (matrix-free) instead of cached scipy matrices."""
+
+    physics: LinearEllipticPhysics
+    X_DG: jnp.ndarray        # (N, n_cells) log-conductivity
+    bc_values: jnp.ndarray   # (N, n_constrained) Dirichlet values
+
+    def __post_init__(self):
+        assert self.X_DG.ndim == 2
+        assert self.X_DG.shape[0] == self.bc_values.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.X_DG.shape[0]
+
+    @property
+    def dim_out(self) -> int:
+        return self.physics.dim_out
+
+    @property
+    def alpha(self) -> jnp.ndarray:
+        """exp(x): conductivities (the reference stores x log-transformed
+        and exponentiates at assembly, VirtualObservables.py:57-59)."""
+        return jnp.exp(self.X_DG)
+
+    def f_eff(self) -> jnp.ndarray:
+        """(N, n_free) effective forces ``f_f - K_fc y_c``."""
+        prof = self.physics.profile
+        f_full = jax.vmap(self.physics.effective_force)(
+            self.alpha, self.bc_values)
+        return f_full[:, jnp.asarray(prof.free_dofs)]
+
+    def apply_Kff(self, V_free: jnp.ndarray) -> jnp.ndarray:
+        """Batched ``K_ff(x_n) V_n``: V_free (N, n_free, m) ->
+        (N, n_free, m)."""
+        op = self.physics.op
+        prof = self.physics.profile
+        free = jnp.asarray(prof.free_dofs)
+        n_nodes = self.physics.grid.n_nodes
+
+        def single(alpha, V):
+            coefs = op.coefficients(alpha)
+            V_full = jnp.zeros((n_nodes, V.shape[1]), V.dtype
+                               ).at[free, :].set(V)
+            grids = op.to_nodegrid(V_full.T)           # (m, Ny, Nx)
+            out = op.apply_coeff(coefs[None], grids)   # broadcast coefs
+            return op.to_flat(out).T[free, :]
+
+        return jax.vmap(single)(self.alpha, V_free)
+
+    def construct_querry_weak_galerkin(self, V_free: jnp.ndarray):
+        """(Gamma, alpha): Gamma (N, m, n_free) = V^T K_ff (via symmetry),
+        alpha (N, m) = V^T f_eff (reference: VirtualObservables.py:61-69)."""
+        KV = self.apply_Kff(V_free)                    # (N, d, m)
+        Gamma = jnp.swapaxes(KV, -1, -2)               # (N, m, d)
+        alpha = jnp.einsum("ndm,nd->nm", V_free, self.f_eff())
+        return Gamma, alpha
+
+
+# ---------------------------------------------------------------------------
+# Test-function samplers
+# ---------------------------------------------------------------------------
+
+class BaseSampler:
+    """m test functions per query point; ``is_constant`` controls resampling
+    and ``precision_mask < 0`` marks infinite-precision constraints
+    (reference: VirtualObservables.py:120-161)."""
+
+    m: int
+    is_constant: bool
+
+    def precision_mask(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def sample(self, qpe: QuerryPointEnsemble, key):
+        """-> (Gamma (N, m, d), alpha (N, m))"""
+        raise NotImplementedError
+
+    @property
+    def fixed_precision(self) -> bool:
+        return bool(np.all(self.precision_mask() < 0))
+
+
+@dataclasses.dataclass
+class CoarseGrainedResidualSampler(BaseSampler):
+    """Constant V = W: the coarse-grained Galerkin residual
+    (reference: VirtualObservables.py:297-321)."""
+
+    W: np.ndarray  # (n_free, d_rom)
+
+    @property
+    def m(self) -> int:
+        return self.W.shape[1]
+
+    is_constant = True
+
+    def precision_mask(self):
+        return -np.ones(self.m)
+
+    def sample(self, qpe, key):
+        V = jnp.broadcast_to(jnp.asarray(self.W, dtype=qpe.X_DG.dtype),
+                             (qpe.N,) + self.W.shape)
+        return qpe.construct_querry_weak_galerkin(V)
+
+
+@dataclasses.dataclass
+class GaussianSketchingSampler(BaseSampler):
+    """iid standard-normal test vectors (reference:
+    VirtualObservables.py:230-258)."""
+
+    N_aux: int
+
+    @property
+    def m(self) -> int:
+        return self.N_aux
+
+    is_constant = False
+
+    def precision_mask(self):
+        return -np.ones(self.m)
+
+    def sample(self, qpe, key):
+        V = jax.random.normal(key, (qpe.N, qpe.dim_out, self.N_aux),
+                              dtype=qpe.X_DG.dtype)
+        return qpe.construct_querry_weak_galerkin(V)
+
+
+@dataclasses.dataclass
+class RadialBasisFunctionSampler(BaseSampler):
+    """Random-centre RBFs ``exp(-|s - r0|^2 / l^2)`` evaluated at the free
+    node coordinates (reference: VirtualObservables.py:172-228 +
+    fawkes/Expressions.py:26-31; closed-form instead of df.interpolate)."""
+
+    l: float
+    N_aux: int
+    coords: np.ndarray  # (n_free, 2) free-dof coordinates
+
+    @property
+    def m(self) -> int:
+        return self.N_aux
+
+    is_constant = False
+
+    def precision_mask(self):
+        return -np.ones(self.m)
+
+    def sample_V(self, key, N: int, dtype) -> jnp.ndarray:
+        r0 = jax.random.uniform(key, (N, self.N_aux, 1, 2))
+        coords = jnp.asarray(self.coords, dtype=dtype)
+        d2 = ((coords[None, None, :, :] - r0) ** 2).sum(-1)  # (N, m, n_free)
+        V = jnp.exp(-d2 / (self.l ** 2)).astype(dtype)
+        return jnp.swapaxes(V, -1, -2)  # (N, n_free, m)
+
+    def sample(self, qpe, key):
+        V = self.sample_V(key, qpe.N, qpe.X_DG.dtype)
+        return qpe.construct_querry_weak_galerkin(V)
+
+
+@dataclasses.dataclass
+class FluxConstrainSampler(BaseSampler):
+    """Flux-continuity constraints (reference: VirtualObservables.py:323-349
+    via flux.py); constant per sample, learnable precision (mask +1)."""
+
+    operator: FluxConstraintOperator
+    physics: LinearEllipticPhysics
+
+    @property
+    def m(self) -> int:
+        return self.operator.n_constraints
+
+    is_constant = True
+
+    def precision_mask(self):
+        return np.ones(self.m)
+
+    def sample(self, qpe, key):
+        prof = self.physics.profile
+
+        def single(alpha, bcv):
+            return self.operator.assemble_reduced(
+                alpha, bcv, prof.free_dofs, prof.constrained_dofs)
+
+        return jax.vmap(single)(qpe.alpha, qpe.bc_values)
+
+
+@dataclasses.dataclass
+class ConcatenatedSamplers(BaseSampler):
+    """Stack several samplers (reference: VirtualObservables.py:260-294)."""
+
+    samplers: Sequence[BaseSampler]
+
+    @property
+    def m(self) -> int:
+        return sum(s.m for s in self.samplers)
+
+    @property
+    def is_constant(self) -> bool:
+        return all(s.is_constant for s in self.samplers)
+
+    def precision_mask(self):
+        return np.concatenate([s.precision_mask() for s in self.samplers])
+
+    def sample(self, qpe, key):
+        keys = jax.random.split(key, len(self.samplers))
+        parts = [s.sample(qpe, k) for s, k in zip(self.samplers, keys)]
+        Gamma = jnp.concatenate([p[0] for p in parts], axis=1)
+        alpha = jnp.concatenate([p[1] for p in parts], axis=1)
+        return Gamma, alpha
+
+
+# ---------------------------------------------------------------------------
+# Linear-Gaussian conditioning (the VO update)
+# ---------------------------------------------------------------------------
+
+def _condition_single(Gamma, alpha, g, prec, vo_variances):
+    """Exact linear-Gaussian conditioning for one sample
+    (reference: VirtualObservables.py:642-669).
+
+    Prior y ~ N(g, diag(1/prec)); observe Gamma y = alpha + eps,
+    eps ~ N(0, diag(vo_variances)).  Returns posterior (mean, vars-diagonal).
+    """
+    cov = 1.0 / prec
+    Lam = jnp.einsum("id,d,sd->is", Gamma, cov, Gamma)
+    Lam = Lam + jnp.diag(vo_variances)
+    L = jnp.linalg.cholesky(Lam)
+    resid = Gamma @ g - alpha
+    solvec = jax.scipy.linalg.cho_solve((L, True), resid)
+    mean = g - cov * (Gamma.T @ solvec)
+    A = Gamma * cov[None, :]                      # (m, d)
+    AL = jax.scipy.linalg.solve_triangular(L, A, lower=True)
+    post_sub = jnp.sum(AL * AL, axis=0)
+    vars_ = cov - post_sub
+    return mean, vars_
+
+
+@partial(jax.jit, donate_argnums=())
+def condition_ensemble(Gamma, alpha, G, PREC, vo_variances):
+    """vmapped conditioning over the ensemble: Gamma (N, m, d), alpha
+    (N, m), G/PREC (N, d), vo_variances (m,) -> (mean, vars) each (N, d)."""
+    return jax.vmap(_condition_single, in_axes=(0, 0, 0, 0, None))(
+        Gamma, alpha, G, PREC, vo_variances)
+
+
+@jax.jit
+def gamma_precision_beta(Gamma, alpha, mean, vars_):
+    """Gamma-hyperprior posterior rate over constraint-noise variances
+    (reference: VirtualObservables.py:971-998):
+    beta_j = 0.5 sum_n [(Gamma_n mu_n - alpha_n)_j^2 + (Gamma_n^2 vars_n)_j].
+    """
+    resid = jnp.einsum("nmd,nd->nm", Gamma, mean) - alpha
+    spread = jnp.einsum("nmd,nd->nm", Gamma ** 2, vars_)
+    return 0.5 * jnp.sum(resid ** 2 + spread, axis=0)
+
+
+class VirtualObservablesEnsemble:
+    """Constraint-based VO ensemble with Gamma-hyperprior precision learning
+    (reference: VirtualObservables.py:596-669, 796-998)."""
+
+    ALPHA_0 = 1e-6
+    BETA_0 = 1e-6
+
+    def __init__(self, qpe: QuerryPointEnsemble, sampler: BaseSampler,
+                 dtype=None):
+        self.qpe = qpe
+        self.sampler = sampler
+        self.dtype = dtype or qpe.X_DG.dtype
+        self._Gamma = None
+        self._alpha = None
+        self._mean = None
+        self._vars = None
+
+        self.m = sampler.m
+        self.N = qpe.N
+        mask = sampler.precision_mask() < 0
+        self.infinite_precision_mask = jnp.asarray(mask)
+        self._prec_alpha = 0.5 * self.N + self.ALPHA_0
+        self._prec_beta = jnp.ones(self.m, dtype=self.dtype)
+        self.vo_variances = self._mean_vo_variances()
+        self._precision_initialized = False
+        self.resample(jax.random.PRNGKey(0), force=True)
+
+    # ------------------------------------------------------------ state
+    @property
+    def dim_out(self) -> int:
+        return self.qpe.dim_out
+
+    @property
+    def mean(self) -> jnp.ndarray:
+        if self._mean is None:
+            raise RuntimeError("VO not yet updated")
+        return self._mean
+
+    @property
+    def vars(self) -> jnp.ndarray:
+        if self._vars is None:
+            raise RuntimeError("VO not yet updated")
+        return self._vars
+
+    @property
+    def logsigma(self) -> jnp.ndarray:
+        return 0.5 * jnp.log(self.vars)
+
+    @property
+    def Gamma(self) -> jnp.ndarray:
+        return self._Gamma
+
+    @property
+    def alpha(self) -> jnp.ndarray:
+        return self._alpha
+
+    @property
+    def fixed_precision(self) -> bool:
+        return bool(jnp.all(self.infinite_precision_mask))
+
+    def _mean_vo_variances(self) -> jnp.ndarray:
+        """E[var] under the Gamma posterior, zero where infinite precision
+        (reference: VirtualObservables.py:960-964)."""
+        mean_vars = self._prec_beta / (self._prec_alpha + 1.0)
+        return jnp.where(self.infinite_precision_mask,
+                         jnp.zeros_like(mean_vars), mean_vars)
+
+    # ---------------------------------------------------------- updates
+    def resample(self, key, force: bool = False):
+        """Redraw the non-constant test functions (reference:
+        VirtualObservables.py:414-421,484-486)."""
+        if self.sampler.is_constant and not force and self._Gamma is not None:
+            return
+        Gamma, alpha = self.sampler.sample(self.qpe, key)
+        self._Gamma = Gamma.astype(self.dtype)
+        self._alpha = alpha.astype(self.dtype)
+
+    def update_vo_precision(self, iteration: int, writer=None):
+        """(reference: VirtualObservables.py:971-998)"""
+        if not self._precision_initialized:
+            self._precision_initialized = True
+            return
+        if self.fixed_precision or self._mean is None:
+            return
+        beta = gamma_precision_beta(self._Gamma, self._alpha, self._mean,
+                                    self._vars)
+        self._prec_beta = beta + self.BETA_0
+        self.vo_variances = self._mean_vo_variances()
+        if writer is not None:
+            writer.add_scalar("Monitor/Mean_VO_variances",
+                              float(jnp.mean(self.vo_variances)),
+                              global_step=iteration)
+
+    def update(self, G, PREC, iteration: int, writer=None):
+        """(reference: VirtualObservables.py:891-898)"""
+        self.update_vo_precision(iteration, writer)
+        # numerical floor: exact constraints get a tiny jitter so the
+        # Cholesky stays positive-definite in f32 as well
+        eps = jnp.asarray(1e-10 if self.dtype == jnp.float64 else 1e-6,
+                          dtype=self.dtype)
+        vo_var = self.vo_variances + eps
+        mean, vars_ = condition_ensemble(
+            self._Gamma, self._alpha, G.astype(self.dtype),
+            PREC.astype(self.dtype), vo_var)
+        self._mean = mean
+        self._vars = jnp.maximum(vars_, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Energy-based virtual observables
+# ---------------------------------------------------------------------------
+
+class TemperatureSchedule:
+    def get_temperature(self, iteration: int) -> float:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class LinearTemperatureSchedule(TemperatureSchedule):
+    """(reference: VirtualObservables.py:1050-1068)"""
+
+    T_init: float
+    T_final: float
+    num_steps: int
+
+    def __post_init__(self):
+        assert self.num_steps > 1 and self.T_final < self.T_init
+
+    def get_temperature(self, iteration):
+        if iteration > self.num_steps:
+            raise RuntimeError("temperature schedule exhausted")
+        frac = iteration / (self.num_steps - 1)
+        return self.T_init + frac * (self.T_final - self.T_init)
+
+
+@dataclasses.dataclass
+class ExponentialTemperatureSchedule(TemperatureSchedule):
+    """(reference: VirtualObservables.py:1071-1091)"""
+
+    T_init: float
+    T_final: float
+    num_steps: int
+
+    def __post_init__(self):
+        assert self.num_steps > 1 and self.T_final < self.T_init
+        self._lmbda = -np.log(self.T_final / self.T_init)
+
+    def get_temperature(self, iteration):
+        if iteration > self.num_steps:
+            raise RuntimeError("temperature schedule exhausted")
+        t = iteration / (self.num_steps - 1)
+        return self.T_init * np.exp(-self._lmbda * t)
+
+
+class EnergyVirtualObservablesEnsemble:
+    """Energy-minimisation VOs: minimise ``(1/T)(0.5 y^T K y - f^T y) +
+    0.5 ||y - g||^2_prec`` by randomized-subspace iteration
+    (reference: VirtualObservables.py:672-793, 1001-1037).
+
+    The subspace solve is vmapped over the ensemble and over iterations is
+    a lax.fori_loop -- one jitted kernel per update instead of the
+    reference's numpy loops.
+    """
+
+    def __init__(self, qpe: QuerryPointEnsemble,
+                 num_iterations_per_update: int,
+                 sampler: RadialBasisFunctionSampler, dtype=None):
+        self.qpe = qpe
+        self.num_iterations_per_update = num_iterations_per_update
+        self.sampler = sampler
+        self.dtype = dtype or qpe.X_DG.dtype
+        self._temperature = 1.0
+        self._forced_temperature = None
+        self._schedule: Optional[TemperatureSchedule] = None
+        self._mean = jnp.zeros((qpe.N, qpe.dim_out), dtype=self.dtype)
+        self._vars = None
+        # diag(K_ff) per sample
+        op = qpe.physics.op
+        free = jnp.asarray(qpe.physics.profile.free_dofs)
+        self._K_diag = jax.vmap(
+            lambda a: op.diagonal(a)[free])(qpe.alpha).astype(self.dtype)
+
+    # ---------------------------------------------------------- plumbing
+    @property
+    def N(self):
+        return self.qpe.N
+
+    @property
+    def dim_out(self):
+        return self.qpe.dim_out
+
+    @property
+    def temperature(self) -> float:
+        return (self._forced_temperature
+                if self._forced_temperature is not None
+                else self._temperature)
+
+    def force_temperature(self, value):
+        self._forced_temperature = value
+
+    def set_temperature(self, value):
+        assert value >= 0
+        self._temperature = value
+
+    def set_temperature_schedule(self, type: str, T_init, T_final, num_steps):
+        cls = {"linear": LinearTemperatureSchedule,
+               "exponential": ExponentialTemperatureSchedule}[type.lower()]
+        self._schedule = cls(T_init, T_final, num_steps)
+
+    def set_linear_temperature_schedule(self, T_init=1.0, T_final=1e-4,
+                                        num_steps=None):
+        if num_steps is None:
+            raise ValueError
+        self._schedule = LinearTemperatureSchedule(T_init, T_final, num_steps)
+
+    @property
+    def mean(self):
+        return self._mean
+
+    @property
+    def vars(self):
+        if self._vars is None:
+            raise RuntimeError("VO not yet updated")
+        return self._vars
+
+    @property
+    def logsigma(self):
+        return 0.5 * jnp.log(self.vars)
+
+    def resample(self, key, force: bool = False):
+        pass  # test functions are drawn inside update (reference :726-728)
+
+    def update_vo_precision(self, iteration, writer=None):
+        """Temperature annealing (reference: VirtualObservables.py:758-766,
+        1031-1037)."""
+        if self._forced_temperature is not None:
+            return
+        if self._schedule is None:
+            raise RuntimeError("no temperature schedule set")
+        self._temperature = self._schedule.get_temperature(iteration)
+        if writer is not None:
+            writer.add_scalar("Monitoring/Temperature", self._temperature,
+                              global_step=iteration)
+
+    def update(self, G, PREC, iteration: int, writer=None):
+        """(reference: VirtualObservables.py:769-788)"""
+        self.update_vo_precision(iteration, writer)
+        inv_T = jnp.asarray(1.0 / self.temperature, dtype=self.dtype)
+        G = G.astype(self.dtype)
+        PREC = PREC.astype(self.dtype)
+        self._vars = 1.0 / (PREC + inv_T * self._K_diag)
+
+        qpe = self.qpe
+        op = qpe.physics.op
+        free = jnp.asarray(qpe.physics.profile.free_dofs)
+        n_nodes = qpe.physics.grid.n_nodes
+        f_eff = qpe.f_eff().astype(self.dtype)
+        b = inv_T * f_eff + PREC * G
+        key = jax.random.fold_in(jax.random.PRNGKey(101), iteration)
+
+        def apply_A(alpha, prec, v):
+            """(diag(prec) + inv_T * K_ff) v for one sample."""
+            coefs = op.coefficients(alpha)
+            v_full = jnp.zeros(n_nodes, v.dtype).at[free].set(v)
+            Kv = op.to_flat(op.apply_coeff(coefs, op.to_nodegrid(v_full)))
+            return prec * v + inv_T * Kv[free]
+
+        s = self.sampler.N_aux
+
+        def body(i, mean):
+            k = jax.random.fold_in(key, i)
+            V = self.sampler.sample_V(k, self.N, self.dtype)  # (N, d, s)
+
+            def single(alpha, prec, bn, mn, Vn):
+                AV = jax.vmap(lambda col: apply_A(alpha, prec, col),
+                              in_axes=1, out_axes=1)(Vn)  # (d, s)
+                M = Vn.T @ AV
+                r = Vn.T @ (apply_A(alpha, prec, mn) - bn)
+                return mn - Vn @ jnp.linalg.solve(M, r)
+
+            return jax.vmap(single)(qpe.alpha.astype(self.dtype), PREC, b,
+                                    mean, V)
+
+        self._mean = jax.lax.fori_loop(0, self.num_iterations_per_update,
+                                       body, self._mean)
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference: QuerryEnsemble.FromQuerryPointEnsemble :498-543 +
+# Trainer.set_data_from_datasets :314-343)
+# ---------------------------------------------------------------------------
+
+def build_virtual_observables_ensemble(vo_spec: dict, dataset_vo, physics,
+                                       dtype=None):
+    """Build the VO ensemble from a reference-style spec dict:
+    {'type': 'constrain'|'energy', 'CGR': bool, 'flux': bool,
+     'N_gaussian': int, 'N_rbf': int, 'l_rbf': float, and for 'energy':
+     'energy_num_iterations_per_update', 'T_init', 'T_final',
+     'T_iterations'}."""
+    if not isinstance(vo_spec, dict) or "type" not in vo_spec:
+        raise ValueError("vo_spec dict with a 'type' key is required")
+
+    fom = physics["fom"]
+    X_DG = dataset_vo.get("X_DG")
+    bce = dataset_vo.get("BCE")
+    bc_values = jnp.asarray(bce.constrained_values("fom"))
+    qpe = QuerryPointEnsemble(physics=fom, X_DG=jnp.asarray(X_DG),
+                              bc_values=bc_values)
+
+    kind = vo_spec["type"].lower()
+    if kind == "energy":
+        coords = fom.grid.node_coords[fom.profile.free_dofs]
+        sampler = RadialBasisFunctionSampler(
+            l=vo_spec["l_rbf"], N_aux=vo_spec["N_rbf"], coords=coords)
+        vo = EnergyVirtualObservablesEnsemble(
+            qpe, vo_spec["energy_num_iterations_per_update"], sampler,
+            dtype=dtype)
+        vo.set_temperature_schedule(
+            "exponential", T_init=vo_spec["T_init"],
+            T_final=vo_spec["T_final"], num_steps=vo_spec["T_iterations"])
+        return vo
+
+    if kind == "constrain":
+        samplers = []
+        if vo_spec.get("CGR"):
+            samplers.append(CoarseGrainedResidualSampler(W=physics["W"]))
+        if vo_spec.get("flux"):
+            op = FluxConstraintOperator(coarse=physics["rom"].grid,
+                                        fine=fom.grid)
+            samplers.append(FluxConstrainSampler(operator=op, physics=fom))
+        if vo_spec.get("N_gaussian", 0) > 0:
+            samplers.append(GaussianSketchingSampler(vo_spec["N_gaussian"]))
+        if vo_spec.get("N_rbf", 0) > 0:
+            coords = fom.grid.node_coords[fom.profile.free_dofs]
+            samplers.append(RadialBasisFunctionSampler(
+                l=vo_spec["l_rbf"], N_aux=vo_spec["N_rbf"], coords=coords))
+        if not samplers:
+            raise ValueError("vo_spec selected no samplers")
+        sampler = samplers[0] if len(samplers) == 1 \
+            else ConcatenatedSamplers(samplers)
+        return VirtualObservablesEnsemble(qpe, sampler, dtype=dtype)
+
+    raise ValueError(f"Type: {vo_spec['type']} not known as specification.")

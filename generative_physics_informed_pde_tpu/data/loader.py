@@ -1,0 +1,378 @@
+"""Dataset management: raw random fields -> assembled training arrays,
+named partitions, lazy dataset views.
+
+TPU-native re-implementation of ``DataLoader`` / ``DataSet``
+(reference: utils/data.py:8-450).  Key differences:
+
+* label generation (the per-sample FEniCS ``solve`` loop,
+  utils/data.py:96-99) becomes ONE batched on-device CG solve;
+* arrays are numpy on the host until a DataSet view casts them to the
+  requested dtype as jax arrays;
+* partition bookkeeping (randomized_partition / grow_partition / restrict)
+  keeps the reference's permutation-compatible semantics so parity runs
+  can see identical splits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fem.bc import BoundaryConditionEnsemble
+from ..fem.pixels import PixelConverter
+
+
+class DataLoader:
+    """Owns the raw field tensor X (N, py, px) and its assembled products.
+
+    (reference: utils/data.py:8-331)
+    """
+
+    VALID_KEYS = ("X", "X_DG", "Y", "F_ROM_BC", "BCE")
+
+    def __init__(self, X: np.ndarray, X_DG=None, Y=None, BCE=None,
+                 F_ROM_BC=None, hash=None):
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 3:
+            raise ValueError("X must be (N, py, px)")
+        if BCE is not None and len(BCE) != X.shape[0]:
+            raise ValueError
+        self._X = X
+        self._X_DG = X_DG
+        self._Y = Y
+        self._BCE = BCE
+        self._F_ROM_BC = F_ROM_BC
+
+        self._permutation: Dict[str, np.ndarray] = {}
+        self._assigned_chunks: Dict[str, dict] = {}
+        self._state_indicator: Dict[str, int] = {}
+        self._dependent_datasets = []
+        self._hash = hash
+        self._lock_physics_assembly = False
+
+    # ------------------------------------------------------------ basic
+    def lock_physics_assembly(self):
+        """Mark as unlabeled-only (reference: utils/data.py:47-48)."""
+        self._lock_physics_assembly = True
+
+    @property
+    def hash(self) -> str:
+        if self._hash is None:
+            self._hash = hashlib.sha256(
+                np.ascontiguousarray(self._X)).hexdigest()
+        return self._hash
+
+    @property
+    def N(self) -> int:
+        return self._X.shape[0]
+
+    def __len__(self):
+        return self.N
+
+    def register_dataset(self, dataset):
+        self._dependent_datasets.append(dataset)
+
+    # --------------------------------------------------------- assembly
+    def assemble_BCE(self, physics, rng: Optional[np.random.Generator] = None):
+        """Sample one BC per field and cache dofs for both spaces
+        (reference: utils/data.py:66-70)."""
+        family = physics["fom"].physics_id
+        self._BCE = BoundaryConditionEnsemble.from_factory(family, self.N, rng)
+        self._BCE.register_function_space("rom", physics["rom"].grid)
+        self._BCE.register_function_space("fom", physics["fom"].grid)
+
+    def assemble(self, physics, BCE: Optional[BoundaryConditionEnsemble] = None,
+                 rng: Optional[np.random.Generator] = None,
+                 label_batch: int = 256):
+        """Assemble X_DG, labels Y (batched on-device FOM solves) and
+        F_ROM_BC (reference: utils/data.py:72-103)."""
+        if self._lock_physics_assembly:
+            raise RuntimeError("physics assembly locked for this loader")
+
+        if self._BCE is None:
+            if BCE is not None:
+                assert BCE.check_if_registered("fom")
+                assert BCE.check_if_registered("rom")
+                self._BCE = BCE
+            else:
+                self.assemble_BCE(physics, rng)
+
+        fom = physics["fom"]
+        conv = PixelConverter(fom.grid)
+        self._X_DG = np.asarray(conv.image_to_function(jnp.asarray(self._X)))
+
+        vals = self._BCE.constrained_values("fom")
+        Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
+        solve = fom.solve_batched
+        for start in range(0, self.N, label_batch):
+            sl = slice(start, min(start + label_batch, self.N))
+            Y[sl] = np.asarray(
+                solve(jnp.exp(jnp.asarray(self._X_DG[sl])),
+                      jnp.asarray(vals[sl])))
+        self._Y = Y
+        self._F_ROM_BC = self._BCE.full_f_with_applied_bc("rom")
+
+    # --------------------------------------------------------- accessors
+    @property
+    def X(self):
+        return self._X
+
+    def _need(self, attr, name):
+        if attr is None:
+            raise RuntimeError(f"{name}: assembly has not been called")
+        return attr
+
+    @property
+    def X_DG(self):
+        return self._need(self._X_DG, "X_DG")
+
+    @property
+    def Y(self):
+        return self._need(self._Y, "Y")
+
+    @property
+    def F_ROM_BC(self):
+        return self._need(self._F_ROM_BC, "F_ROM_BC")
+
+    @property
+    def BCE(self):
+        return self._BCE
+
+    # -------------------------------------------------------- partitions
+    def reset_partition(self, identifier: Optional[str] = None):
+        if identifier is not None:
+            del self._permutation[identifier]
+            del self._assigned_chunks[identifier]
+            del self._state_indicator[identifier]
+        else:
+            self._permutation = {}
+            self._assigned_chunks = {}
+            self._state_indicator = {}
+        for ds in self._dependent_datasets:
+            ds.trigger_update()
+
+    def ascending_partition(self, chunks, identifier="default",
+                            ForceOverwrite=False):
+        return self.randomized_partition(
+            chunks, identifier=identifier, ForceOverwrite=ForceOverwrite,
+            permutation=np.arange(self.N))
+
+    def randomized_partition(self, chunks: dict, identifier: str = "default",
+                             *, ForceOverwrite: bool = False,
+                             permutation=None,
+                             rng: Optional[np.random.Generator] = None):
+        """Named disjoint chunks over a permutation
+        (reference: utils/data.py:179-211)."""
+        if identifier in self._permutation and not ForceOverwrite:
+            raise RuntimeError(f"partition '{identifier}' exists")
+        if not chunks:
+            raise ValueError("empty chunks")
+        if sum(chunks.values()) > self.N:
+            raise ValueError("partition larger than dataset")
+
+        if permutation is None:
+            rng = rng or np.random.default_rng()
+            permutation = rng.permutation(self.N)
+        permutation = np.asarray(permutation, dtype=np.int64)
+
+        self._permutation[identifier] = permutation
+        self._assigned_chunks[identifier] = {}
+        ptr = 0
+        for label, size in chunks.items():
+            self._assigned_chunks[identifier][label] = [
+                np.arange(ptr, ptr + size, dtype=np.int64)]
+            ptr += size
+        self._state_indicator[identifier] = ptr
+        self._check_chunks(identifier)
+
+    def _check_chunks(self, identifier):
+        ids = np.concatenate([np.concatenate(sub) for sub in
+                              self._assigned_chunks[identifier].values()])
+        unique, counts = np.unique(ids, return_counts=True)
+        assert np.all(counts == 1)
+        assert unique.min() >= 0 and unique.max() < self.N
+
+    def grow_partition(self, chunks_growth: dict, identifier="default",
+                       SpecifyIncremental: bool = True):
+        """Incrementally extend chunks from unassigned samples
+        (reference: utils/data.py:223-258)."""
+        if identifier not in self._assigned_chunks:
+            raise ValueError(f"unknown identifier {identifier}")
+        for key in chunks_growth:
+            if key not in self._assigned_chunks[identifier]:
+                raise ValueError(f"unknown chunk label {key}")
+        if not chunks_growth:
+            raise ValueError("empty growth dict")
+
+        chunks_growth = dict(chunks_growth)
+        if not SpecifyIncremental:
+            for label in chunks_growth:
+                used = sum(a.size for a in
+                           self._assigned_chunks[identifier][label])
+                if used >= chunks_growth[label]:
+                    raise ValueError
+                chunks_growth[label] -= used
+
+        available = self.N - self._state_indicator[identifier]
+        if sum(chunks_growth.values()) > available:
+            raise ValueError("not enough unassigned samples")
+
+        ptr = self._state_indicator[identifier]
+        for label, size in chunks_growth.items():
+            self._assigned_chunks[identifier][label].append(
+                np.arange(ptr, ptr + size, dtype=np.int64))
+            ptr += size
+        self._state_indicator[identifier] = ptr
+        self._check_chunks(identifier)
+        for ds in self._dependent_datasets:
+            ds.trigger_update()
+
+    def construct_dataset_dictionary(self, *, identifier=None, dtype,
+                                     device=None):
+        """DataSet views per chunk (reference: utils/data.py:261-280)."""
+        if identifier is None:
+            if not self._permutation:
+                raise RuntimeError("no partitions defined")
+            return {
+                ident: {label: DataSet(self, label=label, identifier=ident,
+                                       dtype=dtype)
+                        for label in self._assigned_chunks[ident]}
+                for ident in self._permutation
+            }
+        if identifier not in self._permutation:
+            raise KeyError(identifier)
+        return {label: DataSet(self, label=label, identifier=identifier,
+                               dtype=dtype)
+                for label in self._assigned_chunks[identifier]}
+
+    # ------------------------------------------------------------ io
+    def save(self, path: str):
+        """Persist raw fields + hash (reference: utils/data.py:284-290)."""
+        if "." not in path.rsplit("/", 1)[-1]:
+            raise ValueError("path needs a file extension")
+        np.savez(path, X=self._X, hash=np.bytes_(self.hash.encode()))
+
+    @classmethod
+    def from_file(cls, path: str) -> "DataLoader":
+        state = np.load(path, allow_pickle=False)
+        return cls(X=state["X"], hash=bytes(state["hash"]).decode())
+
+    @classmethod
+    def from_sampler(cls, sampler, N: int, key=None,
+                     dtype=jnp.float64) -> "DataLoader":
+        """Vectorised replacement for the per-sample loop of
+        utils/data.py:312-325."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        # field sampling is a one-time host-side job and may use complex
+        # FFTs (unsupported on some TPU runtimes) -- run it on the CPU
+        # backend; training-time arrays are device-placed later.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                X = np.asarray(sampler.sample(key, batch_size=N, dtype=dtype))
+        else:  # pragma: no cover
+            X = np.asarray(sampler.sample(key, batch_size=N, dtype=dtype))
+        return cls(X=X)
+
+    def __repr__(self):  # pragma: no cover
+        return (f"DataLoader with {self.N} random field realizations "
+                f"({self._X.shape[1]},{self._X.shape[2]}) "
+                f"[Assembled = {self._X_DG is not None}]")
+
+
+class DataSet:
+    """Lazy view over one partition chunk with dtype-cast device caching
+    (reference: utils/data.py:334-450)."""
+
+    def __init__(self, dataloader: DataLoader, label: str,
+                 identifier: str = "default", *, dtype):
+        self._dataloader = dataloader
+        self.identifier = identifier
+        self.label = label
+        dataloader.register_dataset(self)
+        self._cached_indices = None
+        self._cache: dict = {}
+        self._dtype = dtype
+        self._N_target: Optional[int] = None
+
+    @property
+    def indices(self) -> np.ndarray:
+        if self._cached_indices is None:
+            subset = np.concatenate(
+                self._dataloader._assigned_chunks[self.identifier][self.label])
+            self._cached_indices = \
+                self._dataloader._permutation[self.identifier][subset]
+        return self._cached_indices
+
+    def __len__(self):
+        return len(self.indices) if self._N_target is None else self._N_target
+
+    @property
+    def N(self) -> int:
+        return len(self)
+
+    @property
+    def N_max(self) -> int:
+        return len(self.indices)
+
+    def restrict(self, N_target: int):
+        """Use only the first N_target samples (reference:
+        utils/data.py:393-408)."""
+        if N_target > self.N_max:
+            raise ValueError
+        if N_target == self._N_target:
+            return
+        self._N_target = None if N_target == self.N_max else N_target
+        self.trigger_update()
+
+    def grow_in_size(self, N: int, incremental: bool = False):
+        n_add = N if incremental else N - self.N
+        if n_add <= 0:
+            raise ValueError
+        self._dataloader.grow_partition({self.label: n_add},
+                                        identifier=self.identifier)
+        self.trigger_update()
+
+    def trigger_update(self):
+        self._cached_indices = None
+        self._cache = {}
+
+    def get(self, key: str, random_subset: Optional[int] = None,
+            rng: Optional[np.random.Generator] = None):
+        """Fetch a cached device array for one key; ``random_subset`` draws
+        a random minibatch (reference: utils/data.py:419-445)."""
+        if key not in DataLoader.VALID_KEYS:
+            raise ValueError(key)
+        if key not in self._cache:
+            if self.N == 0:
+                self._cache[key] = None
+            else:
+                Q = getattr(self._dataloader, key)
+                if key == "BCE":
+                    self._cache[key] = Q[list(self.indices[: self.N])]
+                else:
+                    arr = np.asarray(Q)[self.indices]
+                    if self._N_target is not None:
+                        arr = arr[: self._N_target]
+                    if key in ("X", "Y", "F_ROM_BC"):
+                        arr = jnp.asarray(arr, dtype=self._dtype)
+                    else:
+                        arr = jnp.asarray(arr)
+                    self._cache[key] = arr
+        val = self._cache[key]
+        if random_subset is None or val is None:
+            return val
+        rng = rng or np.random.default_rng()
+        idx = rng.permutation(self.N)[:random_subset]
+        return val[jnp.asarray(idx)]
+
+    def __repr__(self):  # pragma: no cover
+        return (f"Virtual dataset with {self.N} datapoints | {self.label} |"
+                f" {self.identifier}")

@@ -1,0 +1,223 @@
+"""Named experiment presets wiring physics + networks into models.
+
+TPU-native re-implementation of ``ModelFactory`` and its presets
+(reference: factories/model.py:38-257).  Identifier->class reflection,
+``set`` overrides and the two shipped presets ('highres', 'highres32')
+keep the reference semantics; the FEniCS mesh/physics construction is the
+closed-form fem layer, and dtype/device resolution becomes a jnp dtype
+(device placement is XLA's job).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fem.physics import make_fom_rom_pair
+from ..models.components import EffectivePropertyMap, ReducedOrderModelOperator
+from ..models.decoder import CNNDecoder
+from ..models.encoder import CNNEncoder
+from ..models.generative import DiscriminativeModel, GenerativeModel
+
+
+def fetch_dtype(dtype: str):
+    """Resolve a dtype string (reference: factories/model.py:12-35; the
+    'device' half is obsolete on TPU -- jax places arrays on the default
+    device).  'bfloat16' is TPU-native and new here."""
+    d = dtype.lower()
+    if d == "float32":
+        return jnp.float32
+    if d in ("float64", "double"):
+        return jnp.float64
+    if d in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"dtype option not recognized: {dtype}")
+
+
+class ModelFactory:
+    """Base factory (reference: factories/model.py:38-170)."""
+
+    def __init__(self, **kwargs):
+        self.params = {
+            "independent_X": True,
+            "ptype": None,
+            "dim_latent": None,
+            "binary_field": False,
+            "dtype": None,
+            "nx_rom": None,
+            "ny_rom": None,
+            "eff_property_map_hidden_layers": None,
+            "num_refines": None,
+            "droprate": 0.0,
+            "homoscedastic": False,
+            "use_encoder": True,
+        }
+        self._identifier = None
+        self._custom_params_set_flag = False
+
+    @classmethod
+    def FromIdentifier(cls, identifier: str, *args, **kwargs) -> "ModelFactory":
+        """Identifier -> preset class reflection (reference:
+        factories/model.py:73-78)."""
+        try:
+            factory_class = _REGISTRY[identifier]
+        except KeyError:
+            raise KeyError(f"unknown model factory identifier {identifier!r}")
+        return factory_class(*args, **kwargs)
+
+    from_identifier = FromIdentifier
+
+    @property
+    def identifier(self) -> str:
+        return self._identifier or type(self).__name__
+
+    @property
+    def dtype(self):
+        return fetch_dtype(self.params["dtype"])
+
+    def set(self, *args):
+        """Single-key or dict override (reference: factories/model.py:86-104)."""
+        if len(args) == 1 and isinstance(args[0], dict):
+            for key, val in args[0].items():
+                if key not in self.params:
+                    raise KeyError(key)
+                self.params[key] = val
+            self._custom_params_set_flag = True
+        elif len(args) == 2 and isinstance(args[0], str):
+            if args[0] not in self.params:
+                raise KeyError(args[0])
+            self.params[args[0]] = args[1]
+        else:
+            raise ValueError
+
+    # ------------------------------------------------------------- setup
+    def _gp(self, key):
+        value = self.params[key]
+        if value is None:
+            raise ValueError(f"parameter {key} is unset")
+        return value
+
+    def _setup_physics(self):
+        """Build fom/rom physics + W (reference: factories/model.py:106-142)."""
+        if not self._custom_params_set_flag:
+            raise RuntimeError("preset must configure params first")
+        return make_fom_rom_pair(self._gp("ptype"), self._gp("nx_rom"),
+                                 self._gp("ny_rom"), self._gp("num_refines"))
+
+    def _closure(self, physics, encoder, decoder):
+        """Wire decoder/encoder/g/gp into the generative model + extract the
+        discriminative twin (reference: factories/model.py:145-163)."""
+        g = ReducedOrderModelOperator.from_physics(physics)
+        gp = EffectivePropertyMap(
+            latent_dim=decoder.dim_latent,
+            dim_effective_property=g.dim_effective_property,
+            num_hidden_layers=self._gp("eff_property_map_hidden_layers"),
+            independent_X=self.params["independent_X"])
+        model = GenerativeModel(
+            f=decoder, g=g, gp=gp, encoder=encoder,
+            independent_X=self.params["independent_X"],
+            binary_field=self.params["binary_field"],
+            dtype=self.dtype)
+        discriminative = DiscriminativeModel(model)
+        return physics, model, discriminative, encoder, self.dtype
+
+    def setup(self):
+        raise NotImplementedError
+
+    @property
+    def physics(self):
+        return self.setup()[0]
+
+
+class highres(ModelFactory):
+    """64x64 FOM / 8x8 ROM on 'ND' (reference: factories/model.py:172-213)."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        self.params.update(
+            ptype="ND", dim_latent=64, binary_field=False, dtype="float32",
+            nx_rom=8, ny_rom=8, eff_property_map_hidden_layers=0,
+            num_refines=3, droprate=0.2)
+        self._identifier = "highres"
+        self._custom_params_set_flag = True
+        self.set(kwargs)
+
+    def setup(self):
+        physics = self._setup_physics()
+        target = self._gp("nx_rom") * 2 ** self._gp("num_refines")
+        decoder = CNNDecoder(
+            target_img_size=target, dim_latent=self._gp("dim_latent"),
+            latent_img_size=8, latent_img_features=1, init_features=6,
+            blocks=(1, 2, 1), growth_rate=4, drop_rate=self.params["droprate"],
+            upsample="nearest", binary=self.params["binary_field"])
+        encoder = CNNEncoder(
+            imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 2, 1),
+            growth_rate=4, init_features=6, drop_rate=self.params["droprate"])
+        if not self.params["use_encoder"]:
+            encoder = None
+        return self._closure(physics, encoder, decoder)
+
+
+class highres32(ModelFactory):
+    """32x32 FOM / 4x4 ROM on 'NDP' -- the example-notebook recipe
+    (reference: factories/model.py:215-257)."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        self.params.update(
+            ptype="NDP", dim_latent=16, binary_field=False, dtype="float32",
+            nx_rom=4, ny_rom=4, eff_property_map_hidden_layers=0,
+            num_refines=3, droprate=0.0, homoscedastic=False)
+        self._identifier = "highres32"
+        self._custom_params_set_flag = True
+        self.set(kwargs)
+
+    def setup(self):
+        physics = self._setup_physics()
+        target = self._gp("nx_rom") * 2 ** self._gp("num_refines")
+        decoder = CNNDecoder(
+            target_img_size=target, dim_latent=self._gp("dim_latent"),
+            latent_img_size=8, latent_img_features=1, init_features=4,
+            blocks=(1, 1), growth_rate=4, drop_rate=self.params["droprate"],
+            upsample="nearest", binary=self.params["binary_field"],
+            homoscedastic=self.params["homoscedastic"])
+        encoder = CNNEncoder(
+            imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 1),
+            growth_rate=4, init_features=4, drop_rate=self.params["droprate"])
+        if not self.params["use_encoder"]:
+            encoder = None
+        return self._closure(physics, encoder, decoder)
+
+
+class highres128(ModelFactory):
+    """128x128 FOM / 8x8 ROM on 'NDP' -- a TPU-scale preset beyond the
+    reference (BASELINE.json config 3)."""
+
+    def __init__(self, **kwargs):
+        super().__init__()
+        self.params.update(
+            ptype="NDP", dim_latent=64, binary_field=False, dtype="float32",
+            nx_rom=8, ny_rom=8, eff_property_map_hidden_layers=0,
+            num_refines=4, droprate=0.0, homoscedastic=False)
+        self._identifier = "highres128"
+        self._custom_params_set_flag = True
+        self.set(kwargs)
+
+    def setup(self):
+        physics = self._setup_physics()
+        target = self._gp("nx_rom") * 2 ** self._gp("num_refines")  # 128
+        decoder = CNNDecoder(
+            target_img_size=target, dim_latent=self._gp("dim_latent"),
+            latent_img_size=8, latent_img_features=2, init_features=16,
+            blocks=(1, 2, 1, 1), growth_rate=8,
+            drop_rate=self.params["droprate"], upsample="nearest")
+        encoder = CNNEncoder(
+            imsize=target, latent_dim=self._gp("dim_latent"),
+            blocks=(1, 2, 1), growth_rate=8, init_features=16,
+            drop_rate=self.params["droprate"])
+        if not self.params["use_encoder"]:
+            encoder = None
+        return self._closure(physics, encoder, decoder)
+
+
+_REGISTRY = {"highres": highres, "highres32": highres32,
+             "highres128": highres128}

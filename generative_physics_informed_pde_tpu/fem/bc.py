@@ -175,7 +175,10 @@ class BoundaryConditionEnsemble:
         return self.thetas.shape[0]
 
     def __getitem__(self, idx):
-        return BoundaryConditionEnsemble(self.family, np.atleast_2d(self.thetas[idx]))
+        sub = BoundaryConditionEnsemble(self.family,
+                                        np.atleast_2d(self.thetas[idx]))
+        sub._profiles = self._profiles  # share registered function spaces
+        return sub
 
     def constrained_dofs(self, identifier: str) -> np.ndarray:
         return self.profile(identifier).constrained_dofs

@@ -33,7 +33,7 @@ class LinearEllipticPhysics:
     """
 
     def __init__(self, identifier: str, physics_id: str, grid: StructuredTriGrid,
-                 *, cg_tol: float = 1e-10, cg_maxiter: int | None = None):
+                 *, cg_tol: float | None = None, cg_maxiter: int | None = None):
         physics_id = physics_id.upper()
         if physics_id not in FAMILIES:
             raise NotImplementedError(physics_id)

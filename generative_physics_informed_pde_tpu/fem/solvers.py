@@ -106,7 +106,7 @@ def cg(matvec, b, x0=None, *, precond=None, tol=1e-10, maxiter=1000) -> CGResult
     return CGResult(x, k, jnp.sqrt(jnp.vdot(r, r).real))
 
 
-def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=1e-10,
+def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=None,
                     maxiter=None):
     """Build a differentiable full-order solver for one grid + BC family.
 
@@ -126,7 +126,9 @@ def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=1e-10,
     implicit function theorem: one adjoint CG solve plus a per-cell
     bilinear contraction (no unrolling).
     """
-    maxiter = maxiter or 4 * op.grid.n_nodes
+    # Jacobi-PCG on the 2D elliptic stencil converges in O(grid side)
+    # iterations; 30x the side is a comfortable ceiling.
+    maxiter = maxiter or max(200, 30 * max(op.grid.nx, op.grid.ny))
     Ny, Nx = op.grid.ny + 1, op.grid.nx + 1
     # keep closure constants as NUMPY: a cached jnp array built while some
     # outer jit is tracing would leak a tracer into later calls.
@@ -136,6 +138,10 @@ def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=1e-10,
     def _solve_free(coefs, rhs_grid, diag):
         m = jnp.asarray(free_mask_grid_np, dtype=rhs_grid.dtype)
         inv_diag = m / jnp.where(diag <= 0, 1.0, diag)
+        # dtype-aware tolerance: 1e-10 is unreachable in f32 and would
+        # force every solve to run the full maxiter
+        tol_ = tol if tol is not None else (
+            1e-10 if rhs_grid.dtype == jnp.float64 else 2e-6)
 
         def matvec(v):
             return m * op.apply_coeff(coefs, m * v)
@@ -143,7 +149,8 @@ def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=1e-10,
         def precond(r):
             return inv_diag * r
 
-        res = cg(matvec, m * rhs_grid, precond=precond, tol=tol, maxiter=maxiter)
+        res = cg(matvec, m * rhs_grid, precond=precond, tol=tol_,
+                 maxiter=maxiter)
         return res.x
 
     @jax.custom_vjp

@@ -1,0 +1,19 @@
+"""Flax model components: DenseNet codec, encoders/decoders, effective-
+property map, the differentiable ROM operator and the generative model."""
+
+from .codec import (DenseLayer, DenseBlock, TransitionDown, TransitionUp,
+                    LastDecoding, DenseED, upsample_nearest_2x)
+from .encoder import CNNEncoder, LinearEncoder, NeuralNetworkEncoder, SplitHeads
+from .decoder import CNNDecoder, LinearDecoder, NeuralNetworkDecoder
+from .components import (EffectivePropertyMap, ROM, ReducedOrderModelOperator,
+                         propagate_gp_samples)
+from .generative import GenerativeModel, DiscriminativeModel
+
+__all__ = [
+    "DenseLayer", "DenseBlock", "TransitionDown", "TransitionUp",
+    "LastDecoding", "DenseED", "upsample_nearest_2x",
+    "CNNEncoder", "LinearEncoder", "NeuralNetworkEncoder", "SplitHeads",
+    "CNNDecoder", "LinearDecoder", "NeuralNetworkDecoder",
+    "EffectivePropertyMap", "ROM", "ReducedOrderModelOperator",
+    "propagate_gp_samples", "GenerativeModel", "DiscriminativeModel",
+]

@@ -1,0 +1,418 @@
+"""The semi-supervised physics-informed VAE and its composite ELBO.
+
+TPU-native re-implementation of ``GenerativeModel``
+(reference: bottleneck/generative.py:10-585) as a *static* model object
+plus pure functions over a parameter pytree:
+
+    params = {
+      'f':   decoder params,           'encoder': encoder params (optional),
+      'gp':  effective-property map,   'g': {'logsigmas_y': ...},
+      'q_z': {modality: {'mean','logsigma'}},   # non-amortized posteriors
+      'q_X': {modality: {'mean','logsigma'}},   # when independent_X
+    }
+
+ELBO structure mirrors generative.py:247-287:
+  elbo = elbo_supervised (lockX/freeX, :418-500)
+       + elbo_unsupervised | elbo_unsupervised_amortized (:515-585)
+       + elbo_virtual_observables (lockX/freeX, :290-392)
+with all likelihoods summed (not averaged) unless ``normalize``.
+
+Everything here is jit/vmap/grad-compatible; the training loop jits one
+step closing over the registered datasets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..inference import variational as va
+from ..inference.likelihoods import (bernoulli_log_likelihood,
+                                     diagonal_gaussian_log_likelihood,
+                                     reparametrize, unit_gaussian_kld)
+from .components import ReducedOrderModelOperator, propagate_gp_samples
+
+
+@dataclasses.dataclass
+class GenerativeModel:
+    """Static wiring of decoder f, ROM operator g, property map gp and an
+    optional amortized encoder (reference constructor generative.py:12-49).
+    """
+
+    f: nn.Module                       # decoder z -> (mu_x, logsigma_x) images
+    g: ReducedOrderModelOperator       # (X_c, F) -> (mu_y, logsigma_y)
+    gp: nn.Module                      # z -> X_c (or (mu_X, logsigma_X))
+    encoder: Optional[nn.Module] = None
+    independent_X: bool = True
+    binary_field: bool = False
+    reconstruct_log_eff_property: bool = True   # config flag (generative.py:45)
+    disable_elbo_vo: bool = False
+    disable_elbo_supervised: bool = False
+    disable_elbo_unsupervised: bool = False
+    preprocess_y: Optional[Callable] = None     # hook (generative.py:51-56)
+    dtype: Any = jnp.float32
+
+    # ------------------------------------------------------------- shapes
+    @property
+    def dim_latent(self) -> int:
+        return self.f.dim_latent
+
+    @property
+    def dim_effective_property(self) -> int:
+        return self.g.dim_effective_property
+
+    @property
+    def dim_y(self) -> int:
+        return self.g.dim_out
+
+    def _preprocess(self, y):
+        return y if self.preprocess_y is None else self.preprocess_y(y)
+
+    # ------------------------------------------------------- param init
+    def init_params(self, key, datasets: Dict[str, dict],
+                    image_shape) -> dict:
+        """Create the full parameter pytree.  ``datasets`` maps modality ->
+        dict with at least 'X' (to size the per-datapoint posteriors,
+        reference register_* generative.py:142-179)."""
+        kf, ke, kg = jax.random.split(key, 3)
+        x_dummy = jnp.zeros((1,) + tuple(image_shape), dtype=self.dtype)
+        z_dummy = jnp.zeros((1, self.dim_latent), dtype=self.dtype)
+
+        params: dict = {}
+        # jit the inits: eager (op-by-op) init dispatch is pathologically
+        # slow on remote-compile TPU runtimes
+        f_vars = jax.jit(lambda k, z: self.f.init({"params": k}, z,
+                                                  train=False))(kf, z_dummy)
+        params["f"] = f_vars["params"]
+        batch_stats = {"f": f_vars.get("batch_stats", {})}
+
+        if self.encoder is not None:
+            e_vars = jax.jit(
+                lambda k, x: self.encoder.init({"params": k}, x,
+                                               train=False))(ke, x_dummy)
+            params["encoder"] = e_vars["params"]
+            batch_stats["encoder"] = e_vars.get("batch_stats", {})
+
+        params["gp"] = jax.jit(self.gp.init)(kg, z_dummy)["params"]
+        params["g"] = self.g.init_params(dtype=self.dtype)
+
+        params["q_z"] = {}
+        params["q_X"] = {}
+        for name, data in datasets.items():
+            if data is None:
+                continue
+            N = data["X"].shape[0]
+            if name == "unsupervised" and self.encoder is not None:
+                continue  # amortized: no per-datapoint q_z (generative.py:553-556)
+            if name in ("supervised", "unsupervised", "vo"):
+                params["q_z"][name] = va.init_variational(
+                    N, self.dim_latent, dtype=self.dtype)
+            if self.independent_X and name in ("supervised", "vo"):
+                params["q_X"][name] = va.init_variational(
+                    N, self.dim_effective_property, dtype=self.dtype)
+        return params, batch_stats
+
+    # ------------------------------------------------------- applications
+    def apply_decoder(self, params, batch_stats, z, *, train: bool, key=None):
+        variables = {"params": params["f"],
+                     "batch_stats": batch_stats.get("f", {})}
+        rngs = {"dropout": key} if key is not None else None
+        if train:
+            out, mut = self.f.apply(variables, z, train=True,
+                                    mutable=["batch_stats"], rngs=rngs)
+            return out, mut["batch_stats"]
+        return self.f.apply(variables, z, train=False), batch_stats.get("f", {})
+
+    def apply_encoder(self, params, batch_stats, x, *, train: bool, key=None):
+        variables = {"params": params["encoder"],
+                     "batch_stats": batch_stats.get("encoder", {})}
+        rngs = {"dropout": key} if key is not None else None
+        if train:
+            out, mut = self.encoder.apply(variables, x, train=True,
+                                          mutable=["batch_stats"], rngs=rngs)
+            return out, mut["batch_stats"]
+        return (self.encoder.apply(variables, x, train=False),
+                batch_stats.get("encoder", {}))
+
+    def apply_gp(self, params, z):
+        return self.gp.apply({"params": params["gp"]}, z)
+
+    def apply_g(self, params, effprop, F):
+        return self.g(params["g"], effprop, F)
+
+    # ---------------------------------------------------- likelihood of x
+    def random_field_likelihood(self, predict, target):
+        """Gaussian (on the log field, or the exp field) or Bernoulli
+        (reference: generative.py:232-244)."""
+        if self.binary_field:
+            return bernoulli_log_likelihood(predict, target)
+        mean, logsigma = predict
+        if self.reconstruct_log_eff_property:
+            return diagonal_gaussian_log_likelihood(target, mean, 2 * logsigma)
+        return diagonal_gaussian_log_likelihood(
+            jnp.exp(target), jnp.exp(mean), 2 * logsigma)
+
+    # ------------------------------------------------------- ELBO pieces
+    def elbo_supervised(self, params, batch_stats, data, key, *,
+                        train: bool = True, normalize: bool = False):
+        """Labeled-pair term (reference: generative.py:418-500, lockX and
+        freeX variants)."""
+        if self.disable_elbo_supervised:
+            return 0.0, batch_stats, {}
+        k1, k2, k3, kd = jax.random.split(key, 4)
+        X, Y, F = data["X"], data["Y"], data["F_ROM_BC"]
+        qz = params["q_z"]["supervised"]
+        Z = va.sample(qz, k1)
+        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                             train=train, key=kd)
+        logL_x = self.random_field_likelihood(predict_x, X)
+        DKL = va.kld(qz)
+        logs = {}
+
+        if self.independent_X:
+            qX = params["q_X"]["supervised"]
+            X_sample = va.sample(qX, k2)
+            mu_X, logsigmas_X = self.apply_gp(params, Z)
+            logL_X = diagonal_gaussian_log_likelihood(X_sample, mu_X,
+                                                      2 * logsigmas_X)
+            ent = va.entropy(qX)
+        else:
+            X_sample = self.apply_gp(params, Z)
+            logL_X = 0.0
+            ent = 0.0
+
+        mu_y, logsigmas_y = self.apply_g(params, X_sample, F)
+        logL_y = diagonal_gaussian_log_likelihood(
+            self._preprocess(Y), self._preprocess(mu_y),
+            2 * self._preprocess(logsigmas_y))
+
+        if normalize:
+            bs = X.shape[0]
+            logL_x, logL_y, logL_X, ent, DKL = (
+                v / bs for v in (logL_x, logL_y, logL_X, ent, DKL))
+
+        elbo = logL_x + logL_y + logL_X + ent - DKL
+        logs.update({"supervised_logL_x": logL_x, "supervised_logL_y": logL_y,
+                     "supervised_DKL_z": DKL, "supervised_elbo": elbo})
+        if self.independent_X:
+            logs.update({"supervised_logL_X": logL_X,
+                         "supervised_entropy_X": ent})
+        new_bs = dict(batch_stats)
+        new_bs["f"] = bs_f
+        return elbo, new_bs, logs
+
+    def elbo_unsupervised_amortized(self, params, batch_stats, X_batch, key, *,
+                                    train: bool = True, normalize: bool = False):
+        """Amortized unlabeled term (reference: generative.py:546-585)."""
+        if self.disable_elbo_unsupervised:
+            return 0.0, batch_stats, {}
+        k1, kd1, kd2 = jax.random.split(key, 3)
+        (mean, logsigma), bs_e = self.apply_encoder(
+            params, batch_stats, X_batch, train=train, key=kd1)
+        Z = reparametrize(k1, mean, logsigma)
+        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                             train=train, key=kd2)
+        logL_x = self.random_field_likelihood(predict_x, X_batch)
+        DKL = unit_gaussian_kld(mean, 2 * logsigma)
+        if normalize:
+            bs = X_batch.shape[0]
+            logL_x, DKL = logL_x / bs, DKL / bs
+        elbo = logL_x - DKL
+        new_bs = dict(batch_stats)
+        new_bs["f"] = bs_f
+        new_bs["encoder"] = bs_e
+        return elbo, new_bs, {"ARM_unsupervised_logL_x": logL_x,
+                              "ARM_unsupervised_DKL_z": DKL,
+                              "ARM_unsupervised_elbo": elbo}
+
+    def elbo_unsupervised(self, params, batch_stats, X, key, *,
+                          train: bool = True, normalize: bool = False):
+        """Non-amortized unlabeled term (reference: generative.py:515-544;
+        NOTE the reference takes the KLD of q_z['supervised'] there --
+        a bug we do not replicate: we use q_z['unsupervised'])."""
+        if self.disable_elbo_unsupervised:
+            return 0.0, batch_stats, {}
+        k1, kd = jax.random.split(key)
+        qz = params["q_z"]["unsupervised"]
+        Z = va.sample(qz, k1)
+        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                             train=train, key=kd)
+        logL_x = self.random_field_likelihood(predict_x, X)
+        DKL = va.kld(qz)
+        if normalize:
+            logL_x, DKL = logL_x / X.shape[0], DKL / X.shape[0]
+        elbo = logL_x - DKL
+        new_bs = dict(batch_stats)
+        new_bs["f"] = bs_f
+        return elbo, new_bs, {"unsupervised_logL_x": logL_x,
+                              "unsupervised_DKL_z": DKL,
+                              "unsupervised_elbo": elbo}
+
+    def elbo_virtual_observables(self, params, batch_stats, data, key, *,
+                                 vo_mean, vo_logsigma, holdoff: bool = False,
+                                 train: bool = True, normalize: bool = False):
+        """Virtual-observable term: the VO posterior (mean, logsigma) over y
+        plays the role of labels via reparameterised samples
+        (reference: generative.py:290-392)."""
+        if self.disable_elbo_vo:
+            return 0.0, batch_stats, {}
+        k1, k2, k3, kd = jax.random.split(key, 4)
+        X, F = data["X"], data["F_ROM_BC"]
+        qz = params["q_z"]["vo"]
+        Z = va.sample(qz, k1)
+        DKL = va.kld(qz)
+        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                             train=train, key=kd)
+        logL_x = self.random_field_likelihood(predict_x, X)
+        logs = {}
+
+        if holdoff:
+            logL_y = 0.0
+            logL_X = 0.0
+            ent = 0.0
+        else:
+            if self.independent_X:
+                qX = params["q_X"]["vo"]
+                X_sample = va.sample(qX, k2)
+                mu_X, logsigmas_X = self.apply_gp(params, Z)
+                logL_X = diagonal_gaussian_log_likelihood(
+                    X_sample, mu_X, 2 * logsigmas_X)
+                ent = va.entropy(qX)
+            else:
+                X_sample = self.apply_gp(params, Z)
+                logL_X = 0.0
+                ent = 0.0
+            mu_y, logsigmas_y = self.apply_g(params, X_sample, F)
+            y_sample = reparametrize(k3, vo_mean.astype(mu_y.dtype),
+                                     vo_logsigma.astype(mu_y.dtype))
+            logL_y = diagonal_gaussian_log_likelihood(y_sample, mu_y,
+                                                      2 * logsigmas_y)
+
+        if normalize:
+            bs = X.shape[0]
+            logL_x, logL_y, logL_X, ent, DKL = (
+                v / bs for v in (logL_x, logL_y, logL_X, ent, DKL))
+
+        elbo = logL_x + logL_y + logL_X + ent - DKL
+        logs.update({"vo_logL_x": logL_x, "vo_logL_y": logL_y,
+                     "vo_DKL": DKL, "vo_elbo": elbo})
+        new_bs = dict(batch_stats)
+        new_bs["f"] = bs_f
+        return elbo, new_bs, logs
+
+    # --------------------------------------------------------- full ELBO
+    def elbo(self, params, batch_stats, data, key, *, vo_state=None,
+             vo_holdoff: bool = False, train: bool = True,
+             normalize: bool = False, l2_penalty: Optional[float] = None):
+        """Composite ELBO (reference: generative.py:247-287).
+
+        ``data`` maps modality -> arrays; 'unsupervised' must already be the
+        minibatch when amortized.  ``vo_state`` = (vo_mean, vo_logsigma).
+        Returns (elbo, new_batch_stats, logs).
+        """
+        ks, ku, kv = jax.random.split(key, 3)
+        total = 0.0
+        logs = {}
+        bs = batch_stats
+
+        if data.get("unsupervised") is not None:
+            X_u = data["unsupervised"]["X"]
+            if self.encoder is not None:
+                e, bs, l = self.elbo_unsupervised_amortized(
+                    params, bs, X_u, ku, train=train, normalize=normalize)
+            else:
+                e, bs, l = self.elbo_unsupervised(
+                    params, bs, X_u, ku, train=train, normalize=normalize)
+            total += e
+            logs.update(l)
+
+        if data.get("supervised") is not None:
+            e, bs, l = self.elbo_supervised(
+                params, bs, data["supervised"], ks, train=train,
+                normalize=normalize)
+            total += e
+            logs.update(l)
+
+        if data.get("vo") is not None and vo_state is not None:
+            vo_mean, vo_logsigma = vo_state
+            e, bs, l = self.elbo_virtual_observables(
+                params, bs, data["vo"], kv, vo_mean=vo_mean,
+                vo_logsigma=vo_logsigma, holdoff=vo_holdoff, train=train,
+                normalize=normalize)
+            total += e
+            logs.update(l)
+
+        if l2_penalty is not None:
+            pen = _l2_norm_sum(params["f"])
+            if self.encoder is not None:
+                pen += _l2_norm_sum(params["encoder"])
+            total -= l2_penalty * pen
+            logs["elbo_l2_penalty"] = pen
+
+        logs["elbo"] = total
+        return total, bs, logs
+
+    # ------------------------------------------------ VO moment propagation
+    def propagate_vo_moments(self, params, data_vo, key, n_monte_carlo: int):
+        """Monte-Carlo push of q through gp o g for every VO sample at once
+        -- (Y_mean, Y_std), each (N_vo, dim_y).  Replaces the per-sample
+        loop of generative.py:198-207 with one vmapped batch."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        F = data_vo["F_ROM_BC"]
+        N = F.shape[0]
+        if self.independent_X:
+            Xs = va.sample_all_components(params["q_X"]["vo"], k1,
+                                          n_monte_carlo)  # (N, S, c)
+        else:
+            Zs = va.sample_all_components(params["q_z"]["vo"], k1,
+                                          n_monte_carlo)  # (N, S, dz)
+            gp_out = self.apply_gp(params, Zs.reshape(-1, Zs.shape[-1]))
+            Xs = propagate_gp_samples(gp_out, k2)
+            Xs = Xs.reshape(N, n_monte_carlo, -1)
+        F_rep = jnp.broadcast_to(F[:, None, :], (N, n_monte_carlo, F.shape[-1]))
+        flatX = Xs.reshape(N * n_monte_carlo, -1)
+        flatF = F_rep.reshape(N * n_monte_carlo, -1)
+        Ys = self.g.propagate_samples(params["g"], flatX, flatF, k3)
+        Ys = Ys.reshape(N, n_monte_carlo, -1)
+        return Ys.mean(axis=1), Ys.std(axis=1, ddof=1)
+
+
+def _l2_norm_sum(tree) -> jnp.ndarray:
+    """Sum of per-leaf L2 norms (reference sums torch.norm per parameter,
+    generative.py:270-276)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.linalg.norm(leaf.ravel()) for leaf in leaves)
+
+
+@dataclasses.dataclass
+class DiscriminativeModel:
+    """Deterministic x -> y surrogate extracted from a trained generative
+    model: ``y = g(gp_mean(encoder_mean(x)), F)``
+    (reference: generative.py:394-415, 605-644).
+
+    Functional: holds the static modules; parameters are passed per call
+    (a snapshot of the generative model's params, which in JAX are plain
+    arrays -- the reference's deepcopy becomes a no-op value copy).
+    """
+
+    model: GenerativeModel
+
+    def extract_params(self, params) -> dict:
+        return jax.tree_util.tree_map(lambda x: x, params)  # value snapshot
+
+    def __call__(self, params, batch_stats, x, F, *, use_encoder: bool = True):
+        if use_encoder:
+            if self.model.encoder is None:
+                raise RuntimeError("encoder is not set")
+            (z, _), _ = self.model.apply_encoder(params, batch_stats, x,
+                                                 train=False)
+        else:
+            z = x  # x is already a latent encoding (FromLatentEncoding)
+        gp_out = self.model.apply_gp(params, z)
+        X_c = gp_out[0] if isinstance(gp_out, tuple) else gp_out
+        mu_y, _ = self.model.apply_g(params, X_c, F)
+        return mu_y

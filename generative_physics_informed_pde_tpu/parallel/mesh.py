@@ -1,0 +1,85 @@
+"""Device meshes and sharding helpers.
+
+TPU-native replacement for the reference's (absent) distributed layer: the
+reference trains single-device and parallelises only parameter studies via
+a sequential futures shim (parallel/utils.py:50-74).  Here the natural
+in-graph parallelism of the workload -- batched PDE solves, per-datapoint
+variational parameters, Monte-Carlo ELBO samples -- is expressed with
+``jax.sharding``: pick a mesh, place the data and the N-indexed parameter
+blocks over the 'dp' axis, and let XLA insert the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("dp",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    With one axis (default 'dp') the mesh is 1-D; pass ``shape`` for
+    multi-axis meshes, e.g. ``make_mesh(8, ("dp", "mc"), (4, 2))``.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """First-dim sharded over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
+    """Place every array in a (nested) data dict with its batch dimension
+    sharded over ``axis``."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+
+
+def _path_contains(path, names) -> bool:
+    for entry in path:
+        key = getattr(entry, "key", getattr(entry, "name", None))
+        if key in names:
+            return True
+    return False
+
+
+def shard_train_state(state, mesh: Mesh, axis: str = "dp",
+                      data_indexed=("q_z", "q_X", "pe_q")):
+    """Place a TrainState: leaves living under per-datapoint parameter
+    blocks (q_z / q_X / the prediction-ensemble posterior) -- and their
+    optimizer moments, which mirror the same tree paths -- are sharded on
+    their leading (datapoint) axis; everything else is replicated.
+
+    This is the whole parallel layout of the model: network weights are
+    tiny and replicated, while the N-indexed posteriors and all batched
+    physics solves scale over the 'dp' mesh axis.
+    """
+    repl = replicated(mesh)
+    shard = batch_sharding(mesh, axis)
+
+    def place(path, leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                and _path_contains(path, data_indexed):
+            return jax.device_put(leaf, shard)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map_with_path(place, state)

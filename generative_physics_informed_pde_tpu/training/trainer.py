@@ -1,0 +1,616 @@
+"""SVI training loop for the physics-informed generative model.
+
+TPU-native re-implementation of ``Trainer`` / ``TrainerParameters`` and the
+``CreateTrainer*`` glue (reference: training.py:22-663).  The per-iteration
+work -- composite-ELBO gradient step, Adam update, and the prediction
+ensemble's inner optimisation -- is ONE jitted function closing over the
+registered dataset shards; the python loop only orchestrates cadence
+(virtual-observable refresh every ``N_vo_update_interval`` steps,
+monitoring every ``N_monitor_interval`` steps), mirroring
+training.py:393-462.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..factories.data import DataFactory
+from ..factories.model import ModelFactory
+from ..inference.analysis import Analysis
+from ..inference.prediction import PredictionEnsemble
+from .metrics import MetricsWriter
+from .schedules import make_schedule
+
+DEFAULT_CONFIG = dict(
+    # reference: training.py:162-187 setup_config
+    lr_init=None,
+    normalize=False,
+    l2_penalty=None,
+    l1_penalty=None,
+    N_PE_updates=3,
+    N_PE_updates_final=100,
+    N_monte_carlo_analysis=64,
+    N_monte_carlo_analysis_final=128,
+    N_monitor_interval=500,
+    N_tensorboard_logging_interval=1,
+    N_vo_update_interval=250,
+    N_vo_holdoff=100,
+    N_monte_carlo_vo=128,
+    MonitorTraining=True,
+)
+
+DEBUG_CONFIG = dict(
+    # reference: training.py:192-203 debug shadow
+    N_monitor_interval=5,
+    N_PE_updates=1,
+    N_PE_updates_final=5,
+    N_monte_carlo_analysis=8,
+    N_monte_carlo_analysis_final=16,
+    N_monte_carlo_vo=16,
+    N_tensorboard_logging_interval=1,
+)
+
+
+class TrainerParameters:
+    """Config struct matching the reference's three-tier dict layout
+    (reference: training.py:22-54 + example.ipynb cell 2)."""
+
+    def __init__(self):
+        self.data = dict(N_u=0, N_s=None, N_vo=0, N_u_max=0, N_s_max=None,
+                         N_vo_max=0, N_val=None, armortized_bs=None,
+                         vo_spec=dict())
+        self.scheduler = dict()
+        self.trainer = dict()
+        self.optimizer = dict()
+        self.margs = dict()
+        self.dargs = dict()
+        self.identifier = None
+        self.folder = None
+        self.comment = ""
+        self.debug = False
+        self.Iterations = None
+        self.seed = 0
+
+
+@struct.dataclass
+class TrainState:
+    """All mutable training state as one pytree (donated through the jitted
+    step)."""
+
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    pe_q: Any
+    pe_opt_state: Any
+    key: Any
+    step: Any  # int32 scalar
+
+
+class Trainer:
+    """Orchestrates SVI on the composite ELBO (reference: training.py:59-501)."""
+
+    def __init__(self, mf: ModelFactory, folder: Optional[str] = None,
+                 comment: str = "", debug: bool = False, seed: int = 0):
+        self._mf = mf
+        physics, model, discriminative, encoder, dtype = mf.setup()
+        self.physics = physics
+        self.model = model
+        self.discriminative_model = discriminative
+        self.encoder = encoder
+        self._dtype = dtype
+        self.debug = debug
+        self.writer = MetricsWriter(folder, comment=comment)
+        self.model_writer_logs: Dict[str, list] = {}
+
+        self._config = None
+        self.datasets = None
+        self.VO = None
+        self._armortized_bs = None
+        self._vo_is_initialized = False
+        self._finalized = False
+        self._global_runtime = 0.0
+        self._global_iteration_counter = 0
+        self._seed = seed
+        self._monitor = dict(elbo=[], elbo_iter=[], lr=[], lr_iter=[])
+
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._vo_state = None
+        self._dl = None
+        self._dlu = None
+
+    # ----------------------------------------------------------- factory
+    @classmethod
+    def FromIdentifier(cls, identifier: str, margs=None, dargs=None,
+                       **kwargs) -> "Trainer":
+        mf = ModelFactory.FromIdentifier(identifier)
+        if margs:
+            for key, val in margs.items():
+                mf.set(key, val)
+        return cls(mf=mf, **kwargs)
+
+    from_identifier = FromIdentifier
+
+    # ------------------------------------------------------------ config
+    def setup_config(self, **kwargs):
+        self._config = dict(DEFAULT_CONFIG)
+        for key, value in kwargs.items():
+            if key not in self._config:
+                raise KeyError(f"Could not set > {key} < in trainer config")
+            self._config[key] = value
+
+    @property
+    def config(self) -> dict:
+        if self._config is None:
+            raise RuntimeError("Config has not yet been setup")
+        if self.debug:
+            cfg = dict(self._config)
+            cfg.update(DEBUG_CONFIG)
+            return cfg
+        return self._config
+
+    def get(self, key):
+        try:
+            return self.config[key]
+        except KeyError:
+            raise KeyError(f"Could not retrieve > {key} < from trainer config")
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def gn(self) -> int:
+        return self._global_iteration_counter
+
+    @property
+    def mf(self):
+        return self._mf
+
+    @property
+    def dl(self):
+        return self._dl
+
+    @property
+    def dlu(self):
+        return self._dlu
+
+    # --------------------------------------------------------------- data
+    def set_data_from_datasets(self, dl, dlu, datasets, Nu, Ns, Nvo,
+                               VO=None, vo_spec=None, armortized_bs=None):
+        """Restrict chunks and build virtual observables
+        (reference: training.py:285-361)."""
+        assert "validation" in datasets and datasets["validation"].N > 0
+        assert all(v is not None and v >= 0 for v in (Nu, Ns, Nvo))
+        self._dl, self._dlu = dl, dlu
+
+        assert "supervised" in datasets
+        datasets["supervised"].restrict(Ns)
+        if Nvo > 0:
+            assert "vo" in datasets and datasets["vo"].N > 0
+            datasets["vo"].restrict(Nvo)
+        if Nu > 0:
+            assert "unsupervised" in datasets and datasets["unsupervised"].N > 0
+            datasets["unsupervised"].restrict(Nu)
+
+        if Nvo > 0 and VO is None:
+            from ..constraints import build_virtual_observables_ensemble
+            VO = build_virtual_observables_ensemble(
+                vo_spec, datasets["vo"], self.physics, dtype=self._dtype)
+        self.VO = VO
+
+        if armortized_bs is not None and self.encoder is None:
+            raise RuntimeError("amortized batch size set but factory has no"
+                               " encoder")
+        if armortized_bs is None and Nu > 0:
+            # non-amortized unsupervised path uses a per-datapoint q_z
+            self.model = dataclasses.replace(self.model, encoder=None)
+        self._armortized_bs = armortized_bs
+        self.datasets = datasets
+
+    # -------------------------------------------------------------- setup
+    def setup(self, scheduler_spec: Optional[dict] = None, mesh=None):
+        """Build params, optimisers, jitted step and analyses
+        (reference: training.py:246-261).
+
+        ``mesh``: optional ``jax.sharding.Mesh``; when given, dataset
+        shards and per-datapoint parameter blocks are placed over the
+        mesh's 'dp' axis (see parallel.mesh.shard_train_state) and the
+        jitted step runs SPMD across devices with XLA-inserted
+        collectives."""
+        if self._config is None:
+            raise RuntimeError("Config has not yet been setup")
+        lr = self.get("lr_init")
+        schedule = make_schedule(scheduler_spec, lr)
+        self.optimizer = optax.adam(schedule)
+
+        # -- device-resident dataset shards --------------------------------
+        dt = self._dtype
+        ds = self.datasets
+        data_sup = {
+            "X": ds["supervised"].get("X"),
+            "Y": ds["supervised"].get("Y"),
+            "F_ROM_BC": ds["supervised"].get("F_ROM_BC"),
+        }
+        data_vo = None
+        if self.VO is not None and "vo" in ds and ds["vo"].N > 0:
+            data_vo = {
+                "X": ds["vo"].get("X"),
+                "F_ROM_BC": ds["vo"].get("F_ROM_BC"),
+            }
+        X_unsup = None
+        if "unsupervised" in ds and ds["unsupervised"] is not None \
+                and ds["unsupervised"].N > 0:
+            X_unsup = ds["unsupervised"].get("X")
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import shard_data_dict, batch_sharding
+            data_sup = shard_data_dict(data_sup, mesh)
+            if data_vo is not None:
+                data_vo = shard_data_dict(data_vo, mesh)
+            if X_unsup is not None:
+                X_unsup = jax.device_put(X_unsup, batch_sharding(mesh))
+        self._data_sup, self._data_vo, self._X_unsup = (data_sup, data_vo,
+                                                        X_unsup)
+
+        # -- parameters -----------------------------------------------------
+        init_sets = {"supervised": {"X": data_sup["X"]}}
+        if X_unsup is not None:
+            init_sets["unsupervised"] = {"X": X_unsup}
+        if data_vo is not None:
+            init_sets["vo"] = {"X": data_vo["X"]}
+        key = jax.random.PRNGKey(self._seed)
+        key, k_init = jax.random.split(key)
+        params, batch_stats = self.model.init_params(
+            k_init, init_sets, data_sup["X"].shape[1:])
+
+        # -- prediction ensemble -------------------------------------------
+        pe_sched = make_schedule(scheduler_spec, lr,
+                                 steps_per_update=self.get("N_PE_updates"))
+        self._PE = PredictionEnsemble(
+            model=self.model, X=ds["validation"].get("X"),
+            optimizer=optax.adam(pe_sched))
+        pe_q, pe_opt_state = self._PE.init(dtype=dt)
+
+        self.state = TrainState(
+            params=params, opt_state=self.optimizer.init(params),
+            batch_stats=batch_stats, pe_q=pe_q, pe_opt_state=pe_opt_state,
+            key=key, step=jnp.zeros((), dtype=jnp.int32))
+        if mesh is not None:
+            from ..parallel.mesh import shard_train_state
+            self.state = shard_train_state(self.state, mesh)
+
+        # -- analyses -------------------------------------------------------
+        data_val = {
+            "X": ds["validation"].get("X"),
+            "Y": ds["validation"].get("Y"),
+            "F_ROM_BC": ds["validation"].get("F_ROM_BC"),
+        }
+        self._data_val = data_val
+        self._analysis = Analysis(model=self.model, data=data_val,
+                                  label="validation", writer=self.writer)
+        self._analysis_training = Analysis(model=self.model, data=data_sup,
+                                           label="training",
+                                           writer=self.writer)
+        self.writer.logging_interval = self.get(
+            "N_tensorboard_logging_interval")
+
+        self._train_step = self._build_train_step()
+        self._vo_propagate = None
+        if data_vo is not None:
+            self._vo_propagate = jax.jit(
+                partial(self.model.propagate_vo_moments,
+                        data_vo=data_vo,
+                        n_monte_carlo=self.get("N_monte_carlo_vo")))
+
+    # ------------------------------------------------------- jitted step
+    def _build_train_step(self):
+        model = self.model
+        optimizer = self.optimizer
+        pe = self._PE
+        data_sup, data_vo, X_unsup = (self._data_sup, self._data_vo,
+                                      self._X_unsup)
+        armortized_bs = self._armortized_bs
+        n_pe = self.get("N_PE_updates")
+        normalize = self.get("normalize")
+        l2_penalty = self.get("l2_penalty")
+        amortized = model.encoder is not None
+
+        @partial(jax.jit, static_argnames=("holdoff",), donate_argnums=(0,))
+        def train_step(state: TrainState, vo_mean, vo_logsigma, *,
+                       holdoff: bool):
+            key, k_batch, k_elbo, k_pe = jax.random.split(state.key, 4)
+
+            data = {"supervised": data_sup}
+            if X_unsup is not None:
+                if amortized:
+                    idx = jax.random.choice(k_batch, X_unsup.shape[0],
+                                            (armortized_bs,), replace=False)
+                    data["unsupervised"] = {"X": X_unsup[idx]}
+                else:
+                    data["unsupervised"] = {"X": X_unsup}
+            if data_vo is not None:
+                data["vo"] = data_vo
+            vo_state = None
+            if data_vo is not None:
+                vo_state = (vo_mean, vo_logsigma)
+
+            def loss(p):
+                elbo, bs, logs = model.elbo(
+                    p, state.batch_stats, data, k_elbo, vo_state=vo_state,
+                    vo_holdoff=holdoff, normalize=normalize,
+                    l2_penalty=l2_penalty)
+                return -elbo, (bs, logs)
+
+            (neg_elbo, (batch_stats, logs)), grads = jax.value_and_grad(
+                loss, has_aux=True)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            pe_q, pe_opt_state, pe_elbo, pe_logL = pe.update(
+                params, batch_stats, state.pe_q, state.pe_opt_state, k_pe,
+                n_pe)
+            logs = dict(logs)
+            logs["PredictionEnsemble/elbo"] = pe_elbo
+            logs["PredictionEnsemble/logL"] = pe_logL
+            logs["PredictionEnsemble/KLD"] = pe_logL - pe_elbo
+            logs["PredictionEnsemble/AvgLatentStddev"] = jnp.mean(
+                jnp.exp(pe_q["logsigma"]))
+
+            new_state = TrainState(
+                params=params, opt_state=opt_state, batch_stats=batch_stats,
+                pe_q=pe_q, pe_opt_state=pe_opt_state, key=key,
+                step=state.step + 1)
+            return new_state, logs
+
+        return train_step
+
+    # ---------------------------------------------------------------- VO
+    def use_vo(self) -> bool:
+        return self.VO is not None and self._data_vo is not None
+
+    def update_vo(self) -> bool:
+        """Cadence gate (reference: training.py:383-389)."""
+        if not self.use_vo():
+            return False
+        return (self.gn >= self.get("N_vo_holdoff")
+                and (self.gn % self.get("N_vo_update_interval") == 0
+                     or not self._vo_is_initialized))
+
+    def update_virtual_observables(self, step: int, resample: bool = True):
+        """MC-propagate q through gp o g, then condition the VO posterior
+        (reference: generative.py:182-222 + VO.update)."""
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 7919), step)
+        k1, k2 = jax.random.split(key)
+        Y_mean, Y_std = self._vo_propagate(self.state.params, key=k1)
+        if resample:
+            self.VO.resample(k2)
+        self.VO.update(Y_mean, 1.0 / (Y_std ** 2), step, writer=self.writer)
+        self._vo_state = (self.VO.mean, self.VO.logsigma)
+        self._vo_is_initialized = True
+
+    # ---------------------------------------------------------------- run
+    def run(self, N: int, verbose: bool = True, callback=None):
+        """The SVI loop (reference: training.py:393-462)."""
+        if self._finalized:
+            raise RuntimeError("Cannot run trainer which has already been"
+                               " finalized")
+        t_start = time.time()
+        dummy_vo = (jnp.zeros((1, 1), dtype=self._dtype),) * 2
+        last_elbo = None
+
+        for n in range(N):
+            if self.update_vo():
+                self.update_virtual_observables(self.gn)
+
+            holdoff = self.gn < self.get("N_vo_holdoff")
+            vo_mean, vo_logsigma = (self._vo_state if self._vo_state
+                                    is not None else dummy_vo)
+            self.state, logs = self._train_step(
+                self.state, vo_mean, vo_logsigma,
+                holdoff=bool(holdoff or (self.use_vo()
+                                         and not self._vo_is_initialized)))
+            last_elbo = logs["elbo"]
+
+            if n % self.get("N_monitor_interval") == 0 and n > 0:
+                self._record(n, logs)
+                if verbose:
+                    print(f"Step: {n} / {N} || ELBO= {float(last_elbo):.4g} "
+                          f"|| LogScore(y): "
+                          f"{self._analysis.series['logscore_y'].final():.4g}")
+
+            self._global_iteration_counter += 1
+            if callback is not None:
+                callback(n, self.gn)
+
+        # final PE refinement + eval (reference: training.py:457-460)
+        for nl in range(self.gn, self.gn + self.get("N_PE_updates_final")):
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 13), nl)
+            pe_q, pe_opt_state, _, _ = self._PE.update(
+                self.state.params, self.state.batch_stats, self.state.pe_q,
+                self.state.pe_opt_state, key, self.get("N_PE_updates"))
+            self.state = self.state.replace(pe_q=pe_q,
+                                            pe_opt_state=pe_opt_state)
+        self._analysis.eval_all_y(
+            self.state.params, self.state.pe_q,
+            jax.random.PRNGKey(self._seed + 17),
+            self.get("N_monte_carlo_analysis_final"),
+            iteration=self.gn + self.get("N_PE_updates_final"))
+        self._global_runtime += time.time() - t_start
+
+    # ---------------------------------------------------------- monitoring
+    def _record(self, n: int, logs: dict):
+        gn = self.gn
+        self.writer.add_scalars({k: v for k, v in logs.items()}, gn,
+                                prefix="objective/")
+        # model.record equivalents (reference: generative.py:112-119)
+        if self.model.independent_X and "supervised" in \
+                self.state.params["q_X"]:
+            qX = self.state.params["q_X"]["supervised"]
+            self.writer.add_scalar("Monitoring/logEffProp_sup_mean",
+                                   jnp.mean(qX["mean"]), gn)
+            self.writer.add_scalar("Monitoring/logEffProp_sup_sigma",
+                                   jnp.mean(qX["logsigma"]), gn)
+        self.writer.add_scalar(
+            "Monitoring/S_avg_precisions",
+            jnp.mean(1.0 / jnp.exp(self.state.params["g"]["logsigmas_y"]) ** 2),
+            gn)
+
+        self._monitor["elbo_iter"].append(gn)
+        self._monitor["elbo"].append(float(logs["elbo"]))
+
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 23), gn)
+        self._analysis.eval_all_y(self.state.params, self.state.pe_q, key,
+                                  self.get("N_monte_carlo_analysis"),
+                                  iteration=gn)
+        if self.get("MonitorTraining"):
+            q_sup = self.state.params["q_z"]["supervised"]
+            self._analysis_training.eval_all_y(
+                self.state.params, q_sup, key,
+                self.get("N_monte_carlo_analysis"), iteration=gn)
+            if self.model.encoder is not None:
+                analysis_enc, q_enc = Analysis.from_encoder(
+                    self.model, self.state.params, self.state.batch_stats,
+                    self._data_val, label="validation_encoder",
+                    writer=self.writer)
+                logscore, r2, relerr = analysis_enc.eval_all_y(
+                    self.state.params, q_enc, key,
+                    self.get("N_monte_carlo_analysis_final"))
+                self.writer.add_scalar("validation_encoder/logscore_y",
+                                       logscore, gn)
+                self.writer.add_scalar("validation_encoder/r2_y", r2, gn)
+                self.writer.add_scalar("validation_encoder/relerr_y", relerr,
+                                       gn)
+
+    def results(self, analysis: Optional[Analysis] = None) -> dict:
+        """(reference: training.py:364-378)"""
+        analysis = analysis or self._analysis
+        out = {k: analysis.series[k].final()
+               for k in ("relerr_y", "r2_y", "logscore_y")}
+        out["runtime"] = self._global_runtime
+        return out
+
+    def finalize(self):
+        """(reference: training.py:464-480)"""
+        try:
+            self.writer.add_hparams({"dummy": 0}, self.results())
+        except (IndexError, AttributeError):
+            pass
+        self.writer.flush()
+        self.writer.close()
+        self._finalized = True
+
+    # ------------------------------------------------- checkpoint / resume
+    def save_checkpoint(self, path: str) -> str:
+        """Persist the full training state (exceeds the reference, which
+        cannot resume Trainer.run -- SURVEY §5)."""
+        from .checkpoint import save_train_state
+        state = dataclasses.asdict(self.state) if not hasattr(
+            self.state, "replace") else self.state
+        meta = {"state": state,
+                "gn": self._global_iteration_counter,
+                "runtime": self._global_runtime}
+        return save_train_state(path, meta)
+
+    def restore_checkpoint(self, path: str):
+        from .checkpoint import restore_train_state
+        like = {"state": self.state, "gn": 0, "runtime": 0.0}
+        meta = restore_train_state(path, like=like)
+        self.state = jax.tree_util.tree_map(jnp.asarray, meta["state"])
+        if not isinstance(self.state, TrainState):
+            self.state = TrainState(**meta["state"])
+        self._global_iteration_counter = int(meta["gn"])
+        self._global_runtime = float(meta["runtime"])
+
+    def info(self):  # pragma: no cover
+        ds = self.datasets or {}
+        print("============ MODEL INFO ==============")
+        for name in ("unsupervised", "supervised", "vo", "validation"):
+            n = ds[name].N if name in ds and ds[name] else 0
+            print(f"N_{name}: {n}")
+        print(f"Armortization: {self.model.encoder is not None}")
+        print(f"Dtype: {self._dtype}")
+        print("========================================")
+
+
+# ---------------------------------------------------------------------------
+# Glue functions (reference: training.py:592-663)
+# ---------------------------------------------------------------------------
+
+def CreateTrainer(params: TrainerParameters, dl, dlu) -> Trainer:
+    return CreateTrainerFromPermutation(
+        params, permutation=np.arange(dl.N), permutation_u=np.arange(dlu.N),
+        dl=dl, dlu=dlu)
+
+
+def CreateTrainerFromPermutation(params: TrainerParameters, permutation=None,
+                                 permutation_u=None, dl=None, dlu=None,
+                                 datasets=None, BCE_encoding=None) -> Trainer:
+    trainer = Trainer.FromIdentifier(
+        params.identifier, params.margs, params.dargs, folder=params.folder,
+        comment=params.comment, debug=params.debug, seed=params.seed)
+
+    BCE = None
+    if BCE_encoding is not None:
+        from ..fem.bc import BoundaryConditionEnsemble
+        family = trainer.physics["fom"].physics_id
+        BCE = BoundaryConditionEnsemble.from_encoding(family, BCE_encoding)
+        BCE.register_function_space("fom", trainer.physics["fom"].grid)
+        BCE.register_function_space("rom", trainer.physics["rom"].grid)
+
+    if datasets is None:
+        dl, dlu, datasets = CreateDataSetsFromPermutation(
+            params.identifier, permutation, permutation_u,
+            params.data["N_val"], params.data["N_u_max"],
+            params.data["N_s_max"], params.data["N_vo_max"], trainer.physics,
+            BCE, trainer.dtype, dl=dl, dlu=dlu)
+
+    trainer.set_data_from_datasets(
+        dl, dlu, datasets, params.data["N_u"], params.data["N_s"],
+        params.data["N_vo"], VO=None, vo_spec=params.data["vo_spec"],
+        armortized_bs=params.data["armortized_bs"])
+    trainer.setup_config(**params.trainer)
+    trainer.setup(scheduler_spec=params.scheduler or None)
+    return trainer
+
+
+def CreateDataSetsFromPermutation(identifier, permutation, permutation_u,
+                                  N_val, N_u_max, N_s_max, N_vo_max, physics,
+                                  BCE, dtype, dl=None, dlu=None):
+    """(reference: training.py:635-663)"""
+    if dl is None or dlu is None:
+        df = DataFactory.FromIdentifier(identifier)
+        dl, dlu = df.setup()
+    dl.assemble(physics, BCE=BCE)
+
+    assert len(dl) == len(permutation)
+    assert len(dlu) == len(permutation_u)
+
+    partition = {"supervised": N_s_max}
+    if N_vo_max > 0:
+        partition["vo"] = N_vo_max
+    partition["validation"] = N_val
+    dl.randomized_partition(partition, identifier="default",
+                            permutation=permutation)
+    datasets = dl.construct_dataset_dictionary(identifier="default",
+                                               dtype=dtype)
+
+    if N_u_max > 0:
+        dlu.randomized_partition({"unsupervised": N_u_max},
+                                 identifier="default",
+                                 permutation=permutation_u)
+        datasets_aux = dlu.construct_dataset_dictionary(identifier="default",
+                                                        dtype=dtype)
+        datasets["unsupervised"] = datasets_aux["unsupervised"]
+
+    return dl, dlu, datasets

@@ -1,0 +1,182 @@
+"""Model components: codec shapes, ROM operator vs Galerkin oracle,
+effective property map, ELBO pieces."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from generative_physics_informed_pde_tpu import fem
+from generative_physics_informed_pde_tpu.models import (
+    CNNDecoder, CNNEncoder, EffectivePropertyMap, ReducedOrderModelOperator,
+    GenerativeModel)
+from generative_physics_informed_pde_tpu.inference import (
+    variational as va, unit_gaussian_kld, diagonal_gaussian_log_likelihood,
+    coefficient_of_determination)
+
+
+@pytest.fixture(scope="module")
+def physics():
+    return fem.make_fom_rom_pair("NDP", 4, 4, 3)
+
+
+def test_decoder_shapes():
+    dec = CNNDecoder(target_img_size=32, dim_latent=16, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    z = jnp.zeros((3, 16))
+    variables = dec.init(jax.random.PRNGKey(0), z, train=False)
+    mean, logsigma = dec.apply(variables, z, train=False)
+    assert mean.shape == (3, 32, 32) and logsigma.shape == (3, 32, 32)
+    m2, s2 = dec.apply(variables, z, train=False, flatten=True)
+    assert m2.shape == (3, 1024)
+
+
+def test_decoder_latent_size_check():
+    with pytest.raises(ValueError):
+        dec = CNNDecoder(target_img_size=32, dim_latent=16, latent_img_size=4,
+                         latent_img_features=1, blocks=(1, 1))
+        dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)), train=False)
+
+
+def test_encoder_shapes():
+    enc = CNNEncoder(imsize=32, latent_dim=16, blocks=(1, 1), growth_rate=4,
+                     init_features=4)
+    x = jnp.zeros((5, 32, 32))
+    variables = enc.init(jax.random.PRNGKey(0), x, train=False)
+    mu, logsigma = enc.apply(variables, x, train=False)
+    assert mu.shape == (5, 16) and logsigma.shape == (5, 16)
+
+
+def test_rom_operator_matches_galerkin_oracle(physics):
+    """W . rom_solve on the ROM grid == numpy Galerkin-free solve oracle
+    (reference cross-check: bottleneck/utils.py:285-310 does the W^T K W
+    version; here the ROM *is* the coarse grid so we check the direct
+    coarse solve + interpolation)."""
+    g = ReducedOrderModelOperator.from_physics(physics)
+    params = g.init_params(dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    N = 4
+    rom = physics["rom"]
+    logX = rng.normal(0, 0.3, (N, rom.grid.n_cells))
+    bce = fem.BoundaryConditionEnsemble.from_factory("NDP", N, rng)
+    bce.register_function_space("rom", rom.grid)
+    F = jnp.asarray(bce.full_f_with_applied_bc("rom"))
+    mu, logsig = g(params, jnp.asarray(logX), F)
+    assert mu.shape == (N, physics["fom"].dim_out)
+    assert logsig.shape == mu.shape
+    np.testing.assert_allclose(np.asarray(logsig), 1.0)  # init ones
+
+    # oracle: dense coarse solve in numpy then interpolate
+    vals = bce.constrained_values("rom")
+    for n in range(N):
+        y_c = rom.solve_direct(np.exp(logX[n]) + 1e-8, vals[n],
+                               only_free_dofs=False)
+        expect = physics["W"] @ y_c
+        np.testing.assert_allclose(np.asarray(mu[n]), expect, rtol=1e-8,
+                                   atol=1e-10)
+
+
+def test_rom_operator_gradients(physics):
+    g = ReducedOrderModelOperator.from_physics(physics)
+    params = g.init_params(dtype=jnp.float64)
+    rom = physics["rom"]
+    F = jnp.zeros((2, rom.grid.n_nodes), dtype=jnp.float64
+                  ).at[:, jnp.asarray(rom.constrained_dofs)].set(1.0)
+    logX = jnp.zeros((2, rom.grid.n_cells), dtype=jnp.float64)
+
+    def loss(lx):
+        mu, _ = g(params, lx, F)
+        return jnp.sum(mu ** 2)
+
+    grad = jax.grad(loss)(logX)
+    assert bool(jnp.all(jnp.isfinite(grad)))
+    # FD check one coordinate
+    e = 1e-6
+    d = jnp.zeros_like(logX).at[0, 3].set(e)
+    fd = (loss(logX + d) - loss(logX - d)) / (2 * e)
+    np.testing.assert_allclose(float(grad[0, 3]), float(fd), rtol=1e-5)
+
+
+def test_effective_property_map_variants():
+    gp = EffectivePropertyMap(latent_dim=8, dim_effective_property=32)
+    z = jnp.zeros((4, 8))
+    variables = gp.init(jax.random.PRNGKey(0), z)
+    mean, logsig = gp.apply(variables, z)
+    assert mean.shape == (4, 32) and np.allclose(np.asarray(logsig), 1.0)
+
+    gp2 = EffectivePropertyMap(latent_dim=8, dim_effective_property=32,
+                               num_hidden_layers=2, independent_X=False)
+    v2 = gp2.init(jax.random.PRNGKey(0), z)
+    out = gp2.apply(v2, z)
+    assert out.shape == (4, 32)
+
+
+def test_variational_approximation():
+    q = va.init_variational(5, 3, dtype=jnp.float64)
+    # KLD of standard normal q: mean 0 logsigma 0 -> 0
+    np.testing.assert_allclose(float(va.kld(q)), 0.0, atol=1e-12)
+    q2 = {"mean": jnp.ones((5, 3)), "logsigma": jnp.zeros((5, 3))}
+    # closed form: 0.5 * sum(mean^2) = 7.5
+    np.testing.assert_allclose(float(va.kld(q2)), 7.5)
+    s = va.sample_all_components(q, jax.random.PRNGKey(0), 7)
+    assert s.shape == (5, 7, 3)
+    # entropy of unit gaussians
+    expect = 5 * 3 * 0.5 * (np.log(2 * np.pi) + 1)
+    np.testing.assert_allclose(float(va.entropy(q)), expect)
+
+
+def test_likelihood_identities():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 6)))
+    mu = jnp.asarray(rng.normal(size=(4, 6)))
+    lv = jnp.asarray(rng.normal(size=(4, 6)))
+    got = float(diagonal_gaussian_log_likelihood(x, mu, lv))
+    from scipy import stats
+    expect = stats.norm.logpdf(np.asarray(x), np.asarray(mu),
+                               np.exp(0.5 * np.asarray(lv))).sum()
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
+    # KLD identity at mean 0 var 1
+    np.testing.assert_allclose(
+        float(unit_gaussian_kld(jnp.zeros(5), jnp.zeros(5))), 0.0)
+
+
+def test_r2_matches_reference_semantics():
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(10, 4)))
+    np.testing.assert_allclose(
+        float(coefficient_of_determination(y, y)), 1.0)
+    y_pred = y + 0.1 * jnp.asarray(rng.normal(size=(10, 4)))
+    r2 = float(coefficient_of_determination(y_pred, y))
+    assert 0.9 < r2 < 1.0
+
+
+def test_generative_model_elbo_gradients(physics):
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=None,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    Ns = 4
+    X = jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(Ns, physics["fom"].dim_out)),
+                    dtype=jnp.float32)
+    F = jnp.zeros((Ns, physics["rom"].grid.n_nodes), dtype=jnp.float32)
+    data = {"supervised": {"X": X, "Y": Y, "F_ROM_BC": F}}
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+
+    def loss(p):
+        e, _, _ = model.elbo(p, bs, data, jax.random.PRNGKey(1))
+        return -e
+
+    val, grads = jax.value_and_grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g_))) for g_ in flat)
+    # q_z and q_X gradients must be nonzero (they feed the elbo)
+    assert float(jnp.abs(grads["q_z"]["supervised"]["mean"]).max()) > 0
+    assert float(jnp.abs(grads["q_X"]["supervised"]["mean"]).max()) > 0
+    assert float(jnp.abs(grads["g"]["logsigmas_y"]).max()) > 0

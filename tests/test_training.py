@@ -1,0 +1,164 @@
+"""End-to-end training: data pipeline, trainer smoke runs (with and
+without virtual observables), schedules, metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from generative_physics_informed_pde_tpu import fem
+from generative_physics_informed_pde_tpu.data import DataLoader
+from generative_physics_informed_pde_tpu.training import (
+    TrainerParameters, CreateTrainerFromPermutation, make_schedule,
+    PlateauController, MetricsWriter)
+
+
+@pytest.fixture(scope="module")
+def _raw_fields():
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    X = np.asarray(rf.sample(jax.random.PRNGKey(0), batch_size=28))
+    Xu = np.asarray(rf.sample(jax.random.PRNGKey(1), batch_size=32))
+    return X, Xu
+
+
+@pytest.fixture()
+def small_loaders(_raw_fields):
+    # fresh loaders per test: partitions are single-use (like the reference)
+    X, Xu = _raw_fields
+    dl = DataLoader(X.copy())
+    dlu = DataLoader(Xu.copy())
+    dlu.lock_physics_assembly()
+    return dl, dlu
+
+
+def _params(**data_overrides):
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True
+    p.trainer["lr_init"] = 1e-2
+    p.trainer["N_monitor_interval"] = 10
+    p.scheduler = {"milestones": [10], "factor": 0.5}
+    p.data.update(N_u=16, N_s=12, N_u_max=16, N_s_max=12, N_vo_max=0,
+                  N_vo=0, N_val=8, armortized_bs=8, vo_spec={})
+    p.data.update(data_overrides)
+    return p
+
+
+def test_dataloader_partitions(small_loaders):
+    dl, _ = small_loaders
+    physics = fem.make_fom_rom_pair("NDP", 4, 4, 3)
+    dl2 = DataLoader(dl.X.copy())
+    dl2.assemble(physics, rng=np.random.default_rng(0))
+    assert dl2.Y.shape == (28, physics["fom"].dim_out)
+    dl2.randomized_partition({"supervised": 12, "validation": 8},
+                             rng=np.random.default_rng(1))
+    ds = dl2.construct_dataset_dictionary(identifier="default",
+                                          dtype=jnp.float32)
+    sup, val = ds["supervised"], ds["validation"]
+    assert sup.N == 12 and val.N == 8
+    assert set(sup.indices).isdisjoint(set(val.indices))
+    sup.restrict(6)
+    assert sup.N == 6 and sup.get("X").shape[0] == 6
+    sup.restrict(12)
+    # grow from the 8 unassigned samples
+    sup.grow_in_size(4, incremental=True)
+    assert sup.N == 16
+    with pytest.raises(ValueError):
+        sup.grow_in_size(100, incremental=True)
+    # labels match direct solves
+    X_DG = np.asarray(dl2.X_DG)
+    vals = dl2.BCE.constrained_values("fom")
+    y0 = physics["fom"].solve_direct(np.exp(X_DG[0]), vals[0])
+    np.testing.assert_allclose(dl2.Y[0], y0, rtol=1e-6, atol=1e-8)
+    # F_ROM_BC: zeros except Dirichlet values at constrained rom dofs
+    F = dl2.F_ROM_BC
+    rom_con = physics["rom"].constrained_dofs
+    mask = np.zeros(F.shape[1], bool)
+    mask[rom_con] = True
+    assert np.all(F[:, ~mask] == 0)
+    np.testing.assert_allclose(F[:, rom_con],
+                               dl2.BCE.constrained_values("rom"))
+
+
+def test_dataloader_roundtrip(tmp_path, small_loaders):
+    dl, _ = small_loaders
+    path = str(tmp_path / "fields.npz")
+    dl.save(path)
+    dl2 = DataLoader.from_file(path)
+    np.testing.assert_allclose(dl2.X, dl.X)
+    assert dl2.hash == dl.hash
+
+
+def test_trainer_smoke(small_loaders, tmp_path):
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    tr.run(22, verbose=False)
+    res = tr.results()
+    assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
+    # elbo should improve over the run
+    elbos = tr._monitor["elbo"]
+    assert len(elbos) >= 2 and elbos[-1] > elbos[0]
+    tr.finalize()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_trainer_with_virtual_observables(small_loaders):
+    dl, dlu = small_loaders
+    params = _params(N_vo=6, N_vo_max=6, N_s=8, N_s_max=8,
+                     vo_spec={"type": "constrain", "CGR": True, "flux": True,
+                              "N_gaussian": 2, "N_rbf": 2, "l_rbf": 0.2})
+    params.trainer["N_vo_holdoff"] = 3
+    params.trainer["N_vo_update_interval"] = 5
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr.use_vo()
+    tr.run(12, verbose=False)
+    assert tr._vo_is_initialized
+    assert tr.VO.mean.shape == (6, tr.physics["fom"].dim_out)
+    assert bool(jnp.all(jnp.isfinite(tr.VO.mean)))
+    res = tr.results()
+    assert np.isfinite(res["logscore_y"])
+
+
+def test_trainer_nonamortized_unsupervised(small_loaders):
+    dl, dlu = small_loaders
+    params = _params(armortized_bs=None)
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr.model.encoder is None
+    assert "unsupervised" in tr.state.params["q_z"]
+    tr.run(6, verbose=False)
+
+
+def test_schedules():
+    sched = make_schedule({"milestones": [10, 20], "factor": 0.5}, 1.0)
+    assert float(sched(0)) == 1.0
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
+    sched2 = make_schedule({"step_size": 10, "factor": 0.1}, 1.0)
+    np.testing.assert_allclose(float(sched2(10)), 0.1, rtol=1e-6)
+    sched3 = make_schedule(None, 3.0)
+    assert float(sched3(1000)) == 3.0
+
+    pc = PlateauController(patience=2, factor=0.1, min_lr=1e-3, lr_init=1.0)
+    for _ in range(2):
+        pc.step(1.0)
+    assert pc.scale == 1.0
+    for _ in range(4):
+        pc.step(0.5)  # not improving
+    assert pc.scale == pytest.approx(0.1)
+
+
+def test_metrics_writer(tmp_path):
+    w = MetricsWriter(str(tmp_path), logging_interval=2)
+    w.add_scalar("a/b", 1.0, 0)
+    w.add_scalar("a/b", 2.0, 1)   # throttled out
+    w.add_scalar("a/b", 3.0, 2)
+    assert [v for _, v in w.scalars["a/b"]] == [1.0, 3.0]
+    w.close()
