@@ -54,22 +54,29 @@ def build_trainer(steps_milestones=(250, 1500)):
     return trainer, dl, dlu
 
 
-def measure_steps_per_sec(trainer, n_steps: int, warmup: int = 5) -> float:
+def measure_steps_per_sec(trainer, n_steps: int, warmup: int = 5,
+                          chunk: int = 25) -> float:
     import jax
+    import jax.numpy as jnp
 
     dummy = trainer._vo_state or (np.zeros((1, 1), np.float32),) * 2
-    import jax.numpy as jnp
     dummy = tuple(jnp.asarray(d) for d in dummy)
-    for _ in range(warmup):
-        trainer.state, logs = trainer._train_step(trainer.state, *dummy,
-                                                  holdoff=True)
-    jax.block_until_ready(logs["elbo"])
+
+    def run(k, c):
+        logs = None
+        for _ in range(k):
+            trainer.state, logs = trainer._train_step(
+                trainer.state, *dummy, holdoff=True, n_steps=c)
+        # NB: block_until_ready does not reliably block on remote-tunnel
+        # runtimes -- force a host transfer
+        float(logs["elbo"])
+
+    run(warmup, 1)
+    run(1, chunk)  # compile the scanned variant
+    n_dispatch = max(1, n_steps // chunk)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        trainer.state, logs = trainer._train_step(trainer.state, *dummy,
-                                                  holdoff=True)
-    jax.block_until_ready(logs["elbo"])
-    return n_steps / (time.perf_counter() - t0)
+    run(n_dispatch, chunk)
+    return n_dispatch * chunk / (time.perf_counter() - t0)
 
 
 def measure_cg_solves_per_sec(physics, batch: int = 1024) -> float:
@@ -82,13 +89,11 @@ def measure_cg_solves_per_sec(physics, batch: int = 1024) -> float:
         key, (batch, fom.grid.n_cells), dtype=jnp.float32))
     theta = jax.random.uniform(key, (batch, 4), minval=-0.5, maxval=0.5)
     vals = fom.profile.constrained_values(theta)
-    Y = fom.solve_batched(alpha, vals)     # compile
-    jax.block_until_ready(Y)
+    float(fom.solve_batched(alpha, vals).sum())    # compile + run
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
-        Y = fom.solve_batched(alpha, vals)
-    jax.block_until_ready(Y)
+        s = float(fom.solve_batched(alpha, vals).sum())  # force transfer
     return reps * batch / (time.perf_counter() - t0)
 
 

@@ -11,6 +11,7 @@ from .solvers import cg, rom_solve, stiffness_from_tensor, make_fom_solver
 from .physics import LinearEllipticPhysics, make_fom_rom_pair
 from .interpolation import p1_interpolation_matrix, physics_resolution_interpolator
 from .pixels import PixelConverter
+from .probe import Probe, QOI
 from .randomfield import (GaussianRandomField, convert_log_mean_std,
                           pixel_center_points, squared_exponential_covariance)
 
@@ -23,4 +24,5 @@ __all__ = [
     "p1_interpolation_matrix", "physics_resolution_interpolator",
     "PixelConverter", "GaussianRandomField", "convert_log_mean_std",
     "pixel_center_points", "squared_exponential_covariance",
+    "Probe", "QOI",
 ]

@@ -1,0 +1,167 @@
+"""Batch-last ("structure-of-arrays") batched full-order solver.
+
+The vmapped per-sample CG keeps arrays as (B, Ny, Nx): the trailing grid
+axis (Ny*Nx, e.g. 65) maps poorly onto the TPU's (8, 128) vector registers
+and every stencil shift touches misaligned lanes.  This module lays the
+batch out LAST -- (Ny, Nx, B) -- so the batch fills the 128-wide lane
+dimension perfectly, stencil shifts become cheap sublane moves, and every
+CG operation is a dense aligned VPU op.  Per-sample CG scalars (step
+sizes, convergence) reduce over the two leading spatial axes only.
+
+Same math, same implicit-function-theorem VJP as ``make_fom_solver``
+(fem/solvers.py); this is purely a performance layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .assembly import StencilOperator, _OFFSETS
+
+
+def _apply_stencil_blast(coefs, v):
+    """coefs (7, Ny, Nx, B), v (Ny, Nx, B) -> (Ny, Nx, B)."""
+    Ny, Nx = v.shape[0], v.shape[1]
+    vp = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros_like(v)
+    for k, (oy, ox) in enumerate(_OFFSETS):
+        out = out + coefs[k] * vp[1 + oy:1 + oy + Ny, 1 + ox:1 + ox + Nx, :]
+    return out
+
+
+def _batched_pcg(coefs, b, mask, precond, tol, maxiter):
+    """PCG with per-sample scalars; arrays (Ny, Nx, B); ``precond`` is a
+    linear SPD map r -> z (Jacobi diag or a multigrid V-cycle)."""
+
+    def matvec(v):
+        return mask * _apply_stencil_blast(coefs, mask * v)
+
+    def dot(a, c):
+        return jnp.sum(a * c, axis=(0, 1))  # (B,)
+
+    b = mask * b
+    bnorm2 = dot(b, b)
+    atol2 = (tol ** 2) * bnorm2
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    gamma0 = dot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return jnp.logical_and(k < maxiter,
+                               jnp.any(dot(r, r) > atol2))
+
+    def body(state):
+        x, r, p, gamma, k = state
+        Ap = matvec(p)
+        denom = dot(p, Ap)
+        alpha = gamma / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha[None, None, :] * p
+        r = r - alpha[None, None, :] * Ap
+        z = precond(r)
+        gamma_new = dot(r, z)
+        beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+        p = z + beta[None, None, :] * p
+        return (x, r, p, gamma_new, k + 1)
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, z0, gamma0, 0))
+    return x
+
+
+def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
+                            maxiter=None, precond: str = "auto"):
+    """Build ``solve(alphas, bc_values) -> Y_free`` for a whole batch:
+    alphas (B, n_cells), bc_values (B, n_constrained) -> (B, n_free),
+    differentiable w.r.t. alphas via one adjoint batched CG.
+
+    ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on grids
+    >= 32 with power-of-two refinement, else Jacobi).
+    """
+    grid = op.grid
+    Ny, Nx = grid.ny + 1, grid.nx + 1
+    if precond == "auto":
+        # multigrid pays off from ~128^2 upward; below that the Jacobi
+        # path is competitive and compiles much faster (the unrolled
+        # V-cycle is a large HLO for remote-compile TPU runtimes)
+        mg_ok = (grid.nx == grid.ny and grid.nx >= 128
+                 and grid.nx % 4 == 0)
+        precond = "mg" if mg_ok else "jacobi"
+    mg = None
+    if precond == "mg":
+        from .multigrid import MultigridPreconditioner
+        mg = MultigridPreconditioner.for_grid(grid)
+        maxiter = maxiter or 60
+    maxiter = maxiter or max(200, 30 * max(grid.nx, grid.ny))
+    free_mask_np = np.asarray(profile.free_mask, dtype=np.float64
+                              ).reshape(Ny, Nx)
+    free_dofs = np.asarray(profile.free_dofs)
+    con_dofs = np.asarray(profile.constrained_dofs)
+
+    def _to_blast(flat):
+        """(B, n_nodes) -> (Ny, Nx, B)"""
+        return jnp.moveaxis(flat.reshape(-1, Ny, Nx), 0, -1)
+
+    def _from_blast(grids):
+        return jnp.moveaxis(grids, -1, 0).reshape(-1, Ny * Nx)
+
+    def _coefs_blast(alphas):
+        c = op.coefficients(alphas)          # (B, 7, Ny, Nx)
+        return jnp.moveaxis(c, 0, -1)        # (7, Ny, Nx, B)
+
+    def _make_precond(alphas, coefs, mask, dtype):
+        diag = coefs[0]
+        inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
+        if mg is None:
+            return lambda r: inv_diag * r
+        levels = mg.setup(alphas)
+        return lambda r: mg.apply(levels, r)
+
+    def _forward_core(alphas, bc_values):
+        dtype = alphas.dtype
+        tol_ = tol if tol is not None else (
+            1e-10 if dtype == jnp.float64 else 2e-6)
+        B = alphas.shape[0]
+        coefs = _coefs_blast(alphas)
+        mask = jnp.asarray(free_mask_np, dtype=dtype)[..., None]
+        pre = _make_precond(alphas, coefs, mask, dtype)
+
+        bc_full = jnp.zeros((B, Ny * Nx), dtype=dtype
+                            ).at[:, con_dofs].set(bc_values.astype(dtype))
+        bc_g = _to_blast(bc_full)
+        rhs = -_apply_stencil_blast(coefs, bc_g)
+        y_free_g = _batched_pcg(coefs, rhs, mask, pre, tol_, maxiter)
+        y_full = _from_blast(y_free_g + bc_g)
+        return y_full, (coefs, mask, tol_)
+
+    @jax.custom_vjp
+    def solve(alphas, bc_values):
+        y_full, _ = _forward_core(alphas, bc_values)
+        return y_full[:, free_dofs]
+
+    def _fwd(alphas, bc_values):
+        y_full, (coefs, mask, tol_) = _forward_core(alphas, bc_values)
+        return y_full[:, free_dofs], (alphas, y_full, coefs, mask, tol_)
+
+    def _bwd(res, ybar):
+        alphas, y_full, coefs, mask, tol_ = res
+        B = alphas.shape[0]
+        pre = _make_precond(alphas, coefs, mask, ybar.dtype)
+        ybar_full = jnp.zeros((B, Ny * Nx), dtype=ybar.dtype
+                              ).at[:, free_dofs].set(ybar)
+        lam_g = _batched_pcg(coefs, _to_blast(ybar_full), mask, pre,
+                             tol_, maxiter)
+        lam = _from_blast(lam_g)
+        alpha_bar = -op.cell_bilinear(lam, y_full)
+        # bc gradient: direct part + coupling through K
+        Klam = _from_blast(_apply_stencil_blast(coefs, lam_g))
+        m_flat = jnp.asarray(free_mask_np.reshape(-1), dtype=lam.dtype)
+        bc_full_bar = (1.0 - m_flat)[None, :] * (ybar_full - Klam)
+        bc_bar = bc_full_bar[:, con_dofs]
+        return alpha_bar.astype(alphas.dtype), bc_bar.astype(ybar.dtype)
+
+    solve.defvjp(_fwd, _bwd)
+    return solve

@@ -99,9 +99,20 @@ class LinearEllipticPhysics:
 
     @cached_property
     def solve_batched(self):
-        """vmapped differentiable solve: (N, n_cells), (N, n_constrained)
+        """Batched differentiable solve: (N, n_cells), (N, n_constrained)
         -> (N, n_free).  Replaces the per-sample FEniCS label loop
-        (utils/data.py:96-99) with one fused batched CG."""
+        (utils/data.py:96-99) with one fused batch-last CG whose batch
+        axis fills the TPU lane dimension (fem/batched_solver.py)."""
+        from .batched_solver import make_batched_fom_solver
+
+        return jax.jit(make_batched_fom_solver(
+            self.op, self.profile, tol=self._cg_tol,
+            maxiter=self._cg_maxiter))
+
+    @cached_property
+    def solve_batched_vmap(self):
+        """vmapped per-sample solver (reference layout; oracle for the
+        batch-last fast path)."""
         return jax.jit(jax.vmap(lambda a, b: self.solve(a, b)))
 
     def solve_direct(self, alpha, bc_values, only_free_dofs: bool = True):

@@ -2,6 +2,8 @@
 likelihood/KL primitives, prediction ensembles and analysis metrics."""
 
 from . import variational
+from .analysis import Analysis, DataPair
+from .prediction import PredictionEnsemble
 from .likelihoods import (LOG_2PI, reparametrize,
                           diagonal_gaussian_log_likelihood,
                           unit_gaussian_kld, bernoulli_log_likelihood,
@@ -13,4 +15,5 @@ __all__ = [
     "diagonal_gaussian_log_likelihood", "unit_gaussian_kld",
     "bernoulli_log_likelihood", "relative_error", "relative_error_batched",
     "coefficient_of_determination", "predictive_logscore",
+    "Analysis", "DataPair", "PredictionEnsemble",
 ]

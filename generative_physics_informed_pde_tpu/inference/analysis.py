@@ -148,6 +148,44 @@ class Analysis:
         if return_mean_std:
             return out["y_mean"], out["y_std"]
 
+    def eval_all_x_fn(self, n_monte_carlo: int, batch_stats):
+        """x-space metrics: relerr_x + predictive logscore on the field
+        reconstruction (reference: components.py:568-590, 636-653), fully
+        vmapped over the dataset."""
+
+        def fn(params, q, key):
+            k1, k2 = jax.random.split(key)
+            Zs = va.sample_all_components(q, k1, n_monte_carlo)  # (N, S, dz)
+            N, S, dz = Zs.shape
+            (mean, logsigma), _ = self.model.apply_decoder(
+                params, batch_stats, Zs.reshape(N * S, dz), train=False)
+            eps = jax.random.normal(k2, mean.shape, dtype=mean.dtype)
+            Xs = (mean + jnp.exp(logsigma) * eps).reshape((N, S, -1))
+            x_mean = Xs.mean(axis=1)
+            x_std = Xs.std(axis=1, ddof=1)
+            X = self.data["X"].reshape(N, -1).astype(x_mean.dtype)
+            relerr = jax.vmap(relative_error)(x_mean, X).mean()
+            logscore = jax.vmap(predictive_logscore)(X, x_mean, x_std).mean()
+            return {"relerr_x": relerr, "logscore_x": logscore}
+
+        return fn
+
+    def eval_all(self, params, batch_stats, q, key, n_monte_carlo: int,
+                 iteration: Optional[int] = None):
+        """Both x and y metric families (reference eval_all,
+        components.py:486-491)."""
+        self.eval_all_y(params, q, key, n_monte_carlo, iteration=iteration)
+        key_x = jax.random.fold_in(key, 1)
+        cache_key = ("x", n_monte_carlo)
+        if cache_key not in self._jitted:
+            self._jitted[cache_key] = jax.jit(
+                self.eval_all_x_fn(n_monte_carlo, batch_stats))
+        out = self._jitted[cache_key](params, q, key_x)
+        if iteration is not None:
+            self.series["relerr_x"].append(iteration, out["relerr_x"])
+            self.series["logscore_x"].append(iteration, out["logscore_x"])
+        return {k: float(v) for k, v in out.items()}
+
     @classmethod
     def from_encoder(cls, model, params, batch_stats, data, **kw):
         """Amortized-posterior analysis: q = encoder(X) with frozen params

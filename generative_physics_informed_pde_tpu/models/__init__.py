@@ -8,6 +8,8 @@ from .decoder import CNNDecoder, LinearDecoder, NeuralNetworkDecoder
 from .components import (EffectivePropertyMap, ROM, ReducedOrderModelOperator,
                          propagate_gp_samples)
 from .generative import GenerativeModel, DiscriminativeModel
+from .mlp import FeedforwardNeuralNetwork, architecture_from_linear_decay
+from .calibration import optimize_effective_properties, reduced_order_model_solve
 
 __all__ = [
     "DenseLayer", "DenseBlock", "TransitionDown", "TransitionUp",
@@ -16,4 +18,6 @@ __all__ = [
     "CNNDecoder", "LinearDecoder", "NeuralNetworkDecoder",
     "EffectivePropertyMap", "ROM", "ReducedOrderModelOperator",
     "propagate_gp_samples", "GenerativeModel", "DiscriminativeModel",
+    "FeedforwardNeuralNetwork", "architecture_from_linear_decay",
+    "optimize_effective_properties", "reduced_order_model_solve",
 ]

@@ -48,6 +48,10 @@ DEFAULT_CONFIG = dict(
     MonitorTraining=True,
 )
 
+# allowed fused-scan lengths: keeps the number of distinct compilations of
+# the scanned train step small while still amortising dispatch latency
+_SCAN_BUCKETS = (1, 2, 3, 4, 5, 6, 10, 25, 50, 100, 250, 500, 1000)
+
 DEBUG_CONFIG = dict(
     # reference: training.py:192-203 debug shadow
     N_monitor_interval=5,
@@ -325,9 +329,8 @@ class Trainer:
         l2_penalty = self.get("l2_penalty")
         amortized = model.encoder is not None
 
-        @partial(jax.jit, static_argnames=("holdoff",), donate_argnums=(0,))
-        def train_step(state: TrainState, vo_mean, vo_logsigma, *,
-                       holdoff: bool):
+        def step_body(state: TrainState, vo_mean, vo_logsigma,
+                      holdoff: bool):
             key, k_batch, k_elbo, k_pe = jax.random.split(state.key, 4)
 
             data = {"supervised": data_sup}
@@ -373,7 +376,25 @@ class Trainer:
                 step=state.step + 1)
             return new_state, logs
 
-        return train_step
+        @partial(jax.jit, static_argnames=("holdoff", "n_steps"),
+                 donate_argnums=(0,))
+        def train_step_n(state: TrainState, vo_mean, vo_logsigma, *,
+                         holdoff: bool, n_steps: int = 1):
+            """n_steps SVI iterations fused into one dispatch (lax.scan):
+            amortises host->device launch latency, critical on remote TPU
+            runtimes.  Returns the LAST step's logs."""
+            if n_steps == 1:
+                return step_body(state, vo_mean, vo_logsigma, holdoff)
+
+            def scan_body(st, _):
+                st, logs = step_body(st, vo_mean, vo_logsigma, holdoff)
+                return st, None
+
+            # run n-1 logless steps, then one with logs
+            state, _ = jax.lax.scan(scan_body, state, None, length=n_steps - 1)
+            return step_body(state, vo_mean, vo_logsigma, holdoff)
+
+        return train_step_n
 
     # ---------------------------------------------------------------- VO
     def use_vo(self) -> bool:
@@ -408,30 +429,56 @@ class Trainer:
         t_start = time.time()
         dummy_vo = (jnp.zeros((1, 1), dtype=self._dtype),) * 2
         last_elbo = None
+        mi = self.get("N_monitor_interval")
+        vo_int = self.get("N_vo_update_interval")
+        vo_hold = self.get("N_vo_holdoff")
 
-        for n in range(N):
+        n = 0
+        while n < N:
             if self.update_vo():
                 self.update_virtual_observables(self.gn)
 
-            holdoff = self.gn < self.get("N_vo_holdoff")
+            holdoff = self.gn < vo_hold
             vo_mean, vo_logsigma = (self._vo_state if self._vo_state
                                     is not None else dummy_vo)
+
+            # chunk size: fuse steps up to the next cadence event
+            # (monitor point, VO refresh, holdoff boundary, end of run)
+            chunk = N - n
+            if callback is not None:
+                chunk = 1
+            if mi > 0:
+                # monitoring fires after executing iteration k with k % mi
+                # == 0 (k > 0): chunk must END exactly there
+                next_mon = n if (n % mi == 0 and n > 0) else ((n // mi) + 1) * mi
+                chunk = min(chunk, next_mon - n + 1)
+            if self.use_vo():
+                next_vo = ((self.gn // vo_int) + 1) * vo_int
+                chunk = min(chunk, max(1, next_vo - self.gn))
+                if holdoff:
+                    chunk = min(chunk, max(1, vo_hold - self.gn))
+            chunk = max(1, min(chunk, N - n))
+            # bucket to limit distinct compiled scan lengths
+            chunk = max(c for c in _SCAN_BUCKETS if c <= chunk)
+
             self.state, logs = self._train_step(
                 self.state, vo_mean, vo_logsigma,
                 holdoff=bool(holdoff or (self.use_vo()
-                                         and not self._vo_is_initialized)))
+                                         and not self._vo_is_initialized)),
+                n_steps=int(chunk))
             last_elbo = logs["elbo"]
+            n_last = n + chunk - 1
+            n += chunk
+            self._global_iteration_counter += chunk
 
-            if n % self.get("N_monitor_interval") == 0 and n > 0:
-                self._record(n, logs)
+            if mi > 0 and n_last % mi == 0 and n_last > 0:
+                self._record(n_last, logs)
                 if verbose:
-                    print(f"Step: {n} / {N} || ELBO= {float(last_elbo):.4g} "
-                          f"|| LogScore(y): "
+                    print(f"Step: {n_last} / {N} || "
+                          f"ELBO= {float(last_elbo):.4g} || LogScore(y): "
                           f"{self._analysis.series['logscore_y'].final():.4g}")
-
-            self._global_iteration_counter += 1
             if callback is not None:
-                callback(n, self.gn)
+                callback(n_last, self.gn)
 
         # final PE refinement + eval (reference: training.py:457-460)
         for nl in range(self.gn, self.gn + self.get("N_PE_updates_final")):

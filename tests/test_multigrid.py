@@ -1,0 +1,75 @@
+"""Multigrid preconditioner: exactness of solves, transfer operators."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from generative_physics_informed_pde_tpu import fem
+from generative_physics_informed_pde_tpu.fem.batched_solver import (
+    make_batched_fom_solver)
+from generative_physics_informed_pde_tpu.fem.multigrid import (
+    MultigridPreconditioner, _prolong, _restrict)
+
+
+def test_prolong_restrict_adjoint():
+    rng = np.random.default_rng(0)
+    Nyc, Nxc, B = 5, 5, 3
+    Ny, Nx = 2 * Nyc - 1, 2 * Nxc - 1
+    e = jnp.asarray(rng.normal(size=(Nyc, Nxc, B)))
+    r = jnp.asarray(rng.normal(size=(Ny, Nx, B)))
+    # <P e, r> == <e, R r> (transfer operators are adjoint)
+    lhs = float(jnp.sum(_prolong(e) * r))
+    rhs = float(jnp.sum(e * _restrict(r)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-10)
+
+
+def test_prolong_exact_for_linear():
+    """Linear functions are reproduced exactly by the P1 prolongation."""
+    Nyc = Nxc = 5
+    y, x = np.meshgrid(np.linspace(0, 1, Nyc), np.linspace(0, 1, Nxc),
+                       indexing="ij")
+    e = jnp.asarray((1 + 2 * x - 0.5 * y)[..., None])
+    fine = np.asarray(_prolong(e))[..., 0]
+    yf, xf = np.meshgrid(np.linspace(0, 1, 2 * Nyc - 1),
+                         np.linspace(0, 1, 2 * Nxc - 1), indexing="ij")
+    np.testing.assert_allclose(fine, 1 + 2 * xf - 0.5 * yf, rtol=1e-12)
+
+
+def test_mg_solver_matches_direct_high_contrast():
+    phys = fem.LinearEllipticPhysics("fom", "NDP", fem.StructuredTriGrid(32, 32))
+    rng = np.random.default_rng(1)
+    B = 3
+    # strong contrast (e^{+-3} ~ 400:1)
+    alphas = jnp.asarray(np.exp(rng.normal(0, 1.0, (B, phys.grid.n_cells))))
+    vals = phys.profile.constrained_values(
+        jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4))))
+    solve = jax.jit(make_batched_fom_solver(phys.op, phys.profile,
+                                            precond="mg"))
+    Y = solve(alphas, vals)
+    for n in range(B):
+        y0 = phys.solve_direct(np.asarray(alphas[n]), np.asarray(vals[n]))
+        np.testing.assert_allclose(np.asarray(Y[n]), y0, rtol=1e-6,
+                                   atol=1e-9)
+
+
+def test_mg_levels():
+    mg = MultigridPreconditioner.for_grid(fem.StructuredTriGrid(64, 64))
+    assert mg.num_levels == 5  # 64 -> 32 -> 16 -> 8 -> 4
+    mg2 = MultigridPreconditioner.for_grid(fem.StructuredTriGrid(4, 4))
+    assert mg2.num_levels == 1
+
+
+def test_mg_gradients_match_jacobi():
+    phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(32, 32))
+    rng = np.random.default_rng(2)
+    B = 2
+    alphas = jnp.asarray(np.exp(rng.normal(0, 0.5, (B, phys.grid.n_cells))))
+    vals = phys.profile.constrained_values(
+        jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (B, 1)))
+    w = jnp.asarray(rng.normal(size=(B, phys.dim_out)))
+    g_mg = jax.grad(lambda a: jnp.sum(w * jax.jit(make_batched_fom_solver(
+        phys.op, phys.profile, precond="mg"))(a, vals)))(alphas)
+    g_j = jax.grad(lambda a: jnp.sum(w * jax.jit(make_batched_fom_solver(
+        phys.op, phys.profile, precond="jacobi"))(a, vals)))(alphas)
+    np.testing.assert_allclose(np.asarray(g_mg), np.asarray(g_j), rtol=1e-6,
+                               atol=1e-10)
