@@ -26,7 +26,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_trainer(steps_milestones=(250, 1500)):
+def build_trainer(steps_milestones=(250, 1500), loaders=None):
     import jax
     from generative_physics_informed_pde_tpu.data import DataLoader
     from generative_physics_informed_pde_tpu.fem import GaussianRandomField
@@ -43,11 +43,20 @@ def build_trainer(steps_milestones=(250, 1500)):
                        N_vo_max=0, N_vo=0, N_val=128, armortized_bs=64,
                        vo_spec={})
 
-    # 64^2 fields via the FFT path (fast, no 4096^2 eigh at bench time)
-    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
-    dl = DataLoader.from_sampler(rf, 128 + 128, key=jax.random.PRNGKey(0))
-    dlu = DataLoader.from_sampler(rf, 1024, key=jax.random.PRNGKey(1))
-    dlu.lock_physics_assembly()
+    if loaders is not None:
+        # reuse the already-assembled arrays (fresh partition state)
+        src_dl, src_dlu = loaders
+        dl = DataLoader(src_dl.X, X_DG=src_dl._X_DG, Y=src_dl._Y,
+                        BCE=src_dl._BCE, F_ROM_BC=src_dl._F_ROM_BC)
+        dlu = DataLoader(src_dlu.X)
+        dlu.lock_physics_assembly()
+    else:
+        # 64^2 fields via the FFT path (no 4096^2 eigh at bench time)
+        rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04,
+                                            method="fft")
+        dl = DataLoader.from_sampler(rf, 128 + 128, key=jax.random.PRNGKey(0))
+        dlu = DataLoader.from_sampler(rf, 1024, key=jax.random.PRNGKey(1))
+        dlu.lock_physics_assembly()
     trainer = CreateTrainerFromPermutation(
         params, permutation=np.arange(dl.N), permutation_u=np.arange(dlu.N),
         dl=dl, dlu=dlu)
@@ -122,7 +131,7 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                trainer_cpu, _, _ = build_trainer()
+                trainer_cpu, _, _ = build_trainer(loaders=(dl, dlu))
                 sps_cpu = measure_steps_per_sec(
                     trainer_cpu, max(5, n_steps // 20), warmup=2)
             log(f"SVI steps/sec on cpu: {sps_cpu:.2f}")

@@ -31,12 +31,10 @@ def _apply_stencil_blast(coefs, v):
     return out
 
 
-def _batched_pcg(coefs, b, mask, precond, tol, maxiter):
-    """PCG with per-sample scalars; arrays (Ny, Nx, B); ``precond`` is a
-    linear SPD map r -> z (Jacobi diag or a multigrid V-cycle)."""
-
-    def matvec(v):
-        return mask * _apply_stencil_blast(coefs, mask * v)
+def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
+    """PCG with per-sample scalars; arrays (Ny, Nx, B); ``matvec`` the
+    masked SPD operator, ``precond`` a linear SPD map r -> z (Jacobi diag
+    or a multigrid V-cycle)."""
 
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))  # (B,)
@@ -73,13 +71,16 @@ def _batched_pcg(coefs, b, mask, precond, tol, maxiter):
 
 
 def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
-                            maxiter=None, precond: str = "auto"):
+                            maxiter=None, precond: str = "auto",
+                            use_pallas: bool = False):
     """Build ``solve(alphas, bc_values) -> Y_free`` for a whole batch:
     alphas (B, n_cells), bc_values (B, n_constrained) -> (B, n_free),
     differentiable w.r.t. alphas via one adjoint batched CG.
 
     ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on grids
     >= 32 with power-of-two refinement, else Jacobi).
+    ``use_pallas``: route the masked stencil matvec through the Pallas
+    kernel (ops/stencil.py) instead of the XLA-fused shifts.
     """
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1
@@ -112,6 +113,15 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         c = op.coefficients(alphas)          # (B, 7, Ny, Nx)
         return jnp.moveaxis(c, 0, -1)        # (7, Ny, Nx, B)
 
+    def _masked_matvec(coefs, mask):
+        if use_pallas:
+            from ..ops.stencil import apply_stencil
+
+            interp = jax.default_backend() != "tpu"
+            return lambda v: apply_stencil(coefs, mask * v, mask,
+                                           interpret=interp)
+        return lambda v: mask * _apply_stencil_blast(coefs, mask * v)
+
     def _make_precond(alphas, coefs, mask, dtype):
         diag = coefs[0]
         inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
@@ -133,7 +143,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
                             ).at[:, con_dofs].set(bc_values.astype(dtype))
         bc_g = _to_blast(bc_full)
         rhs = -_apply_stencil_blast(coefs, bc_g)
-        y_free_g = _batched_pcg(coefs, rhs, mask, pre, tol_, maxiter)
+        y_free_g = _batched_pcg(_masked_matvec(coefs, mask), rhs, mask, pre,
+                                tol_, maxiter)
         y_full = _from_blast(y_free_g + bc_g)
         return y_full, (coefs, mask, tol_)
 
@@ -152,8 +163,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         pre = _make_precond(alphas, coefs, mask, ybar.dtype)
         ybar_full = jnp.zeros((B, Ny * Nx), dtype=ybar.dtype
                               ).at[:, free_dofs].set(ybar)
-        lam_g = _batched_pcg(coefs, _to_blast(ybar_full), mask, pre,
-                             tol_, maxiter)
+        lam_g = _batched_pcg(_masked_matvec(coefs, mask), _to_blast(ybar_full),
+                             mask, pre, tol_, maxiter)
         lam = _from_blast(lam_g)
         alpha_bar = -op.cell_bilinear(lam, y_full)
         # bc gradient: direct part + coupling through K

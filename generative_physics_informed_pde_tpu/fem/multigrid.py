@@ -46,18 +46,31 @@ def _coarsen_alpha_cellgrid(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(m)[:, :, None, :].repeat(2, axis=2)    # both triangles
 
 
+def _interleave(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """a (n slices) and b (n-1 slices) -> (2n-1): a0 b0 a1 b1 ... a_{n-1}.
+
+    Implemented with stack+reshape (strided scatter writes lower terribly
+    on TPU)."""
+    n = a.shape[axis]
+    pad = jnp.zeros_like(jax.lax.slice_in_dim(b, 0, 1, axis=axis))
+    b_pad = jnp.concatenate([b, pad], axis=axis)
+    st = jnp.stack([a, b_pad], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * n
+    out = st.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, 2 * n - 1, axis=axis)
+
+
 def _prolong(e: jnp.ndarray) -> jnp.ndarray:
     """Coarse node grid (Nyc, Nxc, B) -> fine (2*Nyc-1, 2*Nxc-1, B):
     linear interpolation respecting the right-diagonal triangulation
     (odd-odd nodes average the lower-left/upper-right coarse pair)."""
-    Nyc, Nxc, B = e.shape
-    Ny, Nx = 2 * Nyc - 1, 2 * Nxc - 1
-    out = jnp.zeros((Ny, Nx, B), dtype=e.dtype)
-    out = out.at[0::2, 0::2].set(e)
-    out = out.at[0::2, 1::2].set(0.5 * (e[:, :-1] + e[:, 1:]))
-    out = out.at[1::2, 0::2].set(0.5 * (e[:-1, :] + e[1:, :]))
-    out = out.at[1::2, 1::2].set(0.5 * (e[:-1, :-1] + e[1:, 1:]))
-    return out
+    ex = 0.5 * (e[:, :-1] + e[:, 1:])
+    rows_even = _interleave(e, ex, axis=1)        # (Nyc, Nx, B)
+    ey = 0.5 * (e[:-1, :] + e[1:, :])
+    ed = 0.5 * (e[:-1, :-1] + e[1:, 1:])
+    rows_odd = _interleave(ey, ed, axis=1)        # (Nyc-1, Nx, B)
+    return _interleave(rows_even, rows_odd, axis=0)
 
 
 def _restrict(r: jnp.ndarray) -> jnp.ndarray:

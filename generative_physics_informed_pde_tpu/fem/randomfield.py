@@ -49,6 +49,33 @@ def squared_exponential_covariance(X: np.ndarray, stddev: float, corrlength: flo
     return C + 1e-12 * np.eye(C.shape[0])
 
 
+def _kernel_fn(kernel: str, stddev: float, corrlength: float):
+    """Stationary kernel k(r): 'se' (reference) plus the Matern family
+    (nu = 1/2, 3/2, 5/2) used by the high-contrast 128^2 configs --
+    beyond the reference, which only ships squared-exponential."""
+    s2 = stddev ** 2
+    l = corrlength
+    k = kernel.lower()
+    if k in ("se", "rbf", "gaussian"):
+        return lambda r: s2 * np.exp(-0.5 * (r / l) ** 2)
+    if k in ("matern12", "exponential"):
+        return lambda r: s2 * np.exp(-r / l)
+    if k == "matern32":
+        c = np.sqrt(3.0) / l
+        return lambda r: s2 * (1 + c * r) * np.exp(-c * r)
+    if k == "matern52":
+        c = np.sqrt(5.0) / l
+        return lambda r: s2 * (1 + c * r + (c * r) ** 2 / 3) * np.exp(-c * r)
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def stationary_covariance(X: np.ndarray, stddev: float, corrlength: float,
+                          kernel: str = "se") -> np.ndarray:
+    r = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    C = _kernel_fn(kernel, stddev, corrlength)(r)
+    return C + 1e-12 * np.eye(C.shape[0])
+
+
 def convert_log_mean_std(mean: float, std: float):
     """Log-normal moment conversion (reference: RandomField.py:211-219)."""
     if mean <= 0 or std <= 0:
@@ -70,6 +97,7 @@ class GaussianRandomField:
     py: Optional[int] = None
     px: Optional[int] = None
     method: str = "auto"  # 'auto' | 'kl' | 'cholesky' | 'fft'
+    kernel: str = "se"    # 'se' (reference) | 'matern12' | 'matern32' | 'matern52'
 
     def __post_init__(self):
         if self.stddev <= 0 or self.corrlength <= 0:
@@ -78,12 +106,13 @@ class GaussianRandomField:
     # ----------------------------------------------------------- factories
     @classmethod
     def from_image(cls, py, px, mean, stddev, corrlength, truncation=None,
-                   ly=1.0, lx=1.0, method="auto"):
+                   ly=1.0, lx=1.0, method="auto", kernel="se"):
         """Pixel-centre grid construction (reference FromImage,
         RandomField.py:61-73)."""
         X = pixel_center_points(py, px, ly, lx)
         return cls(mean=mean, stddev=stddev, corrlength=corrlength, X=X,
-                   truncation=truncation, py=py, px=px, method=method)
+                   truncation=truncation, py=py, px=px, method=method,
+                   kernel=kernel)
 
     # ------------------------------------------------------------ properties
     @property
@@ -109,7 +138,8 @@ class GaussianRandomField:
     # -------------------------------------------------------- dense factors
     @cached_property
     def _eig(self):
-        C = squared_exponential_covariance(self.X, self.stddev, self.corrlength)
+        C = stationary_covariance(self.X, self.stddev, self.corrlength,
+                                  self.kernel)
         eigvals, eigvecs = np.linalg.eigh(C)
         return np.flip(eigvals, 0).copy(), np.fliplr(eigvecs).copy()
 
@@ -123,7 +153,8 @@ class GaussianRandomField:
         RandomField.py:98-110,176-209)."""
         method = self._resolved_method
         if method == "cholesky":
-            C = squared_exponential_covariance(self.X, self.stddev, self.corrlength)
+            C = stationary_covariance(self.X, self.stddev, self.corrlength,
+                                      self.kernel)
             return np.linalg.cholesky(C)
         if method == "kl":
             eigvals, eigvecs = self._eig
@@ -153,8 +184,8 @@ class GaussianRandomField:
         # periodic distances on the embedding torus
         dy = np.minimum(np.arange(my), my - np.arange(my)) * wy
         dx = np.minimum(np.arange(mx), mx - np.arange(mx)) * wx
-        r2 = dy[:, None] ** 2 + dx[None, :] ** 2
-        row = self.stddev ** 2 * np.exp(-0.5 * r2 / self.corrlength ** 2)
+        r = np.sqrt(dy[:, None] ** 2 + dx[None, :] ** 2)
+        row = _kernel_fn(self.kernel, self.stddev, self.corrlength)(r)
         spec = np.fft.fft2(row).real
         spec = np.clip(spec, 0.0, None)  # tiny negatives from embedding
         return np.sqrt(spec / (my * mx))

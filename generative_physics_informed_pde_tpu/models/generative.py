@@ -54,6 +54,8 @@ class GenerativeModel:
     disable_elbo_supervised: bool = False
     disable_elbo_unsupervised: bool = False
     preprocess_y: Optional[Callable] = None     # hook (generative.py:51-56)
+    n_mc: int = 1   # MC ELBO samples per step (reference uses 1; >1 is the
+    #                 BASELINE config-3 extension, averaged per-term)
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------- shapes
@@ -166,29 +168,43 @@ class GenerativeModel:
         k1, k2, k3, kd = jax.random.split(key, 4)
         X, Y, F = data["X"], data["Y"], data["F_ROM_BC"]
         qz = params["q_z"]["supervised"]
-        Z = va.sample(qz, k1)
+        S = self.n_mc
+        if S > 1:
+            # S Monte-Carlo draws folded into the batch axis; per-sample
+            # likelihoods averaged over S
+            Z = va.sample_all_components(qz, k1, S).reshape(-1, self.dim_latent)
+            X_rep = jnp.repeat(X, S, axis=0)
+            Y_rep = jnp.repeat(Y, S, axis=0)
+            F_rep = jnp.repeat(F, S, axis=0)
+        else:
+            Z = va.sample(qz, k1)
+            X_rep, Y_rep, F_rep = X, Y, F
         predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
                                              train=train, key=kd)
-        logL_x = self.random_field_likelihood(predict_x, X)
+        logL_x = self.random_field_likelihood(predict_x, X_rep) / S
         DKL = va.kld(qz)
         logs = {}
 
         if self.independent_X:
             qX = params["q_X"]["supervised"]
-            X_sample = va.sample(qX, k2)
+            if S > 1:
+                X_sample = va.sample_all_components(qX, k2, S).reshape(
+                    -1, self.dim_effective_property)
+            else:
+                X_sample = va.sample(qX, k2)
             mu_X, logsigmas_X = self.apply_gp(params, Z)
             logL_X = diagonal_gaussian_log_likelihood(X_sample, mu_X,
-                                                      2 * logsigmas_X)
+                                                      2 * logsigmas_X) / S
             ent = va.entropy(qX)
         else:
             X_sample = self.apply_gp(params, Z)
             logL_X = 0.0
             ent = 0.0
 
-        mu_y, logsigmas_y = self.apply_g(params, X_sample, F)
+        mu_y, logsigmas_y = self.apply_g(params, X_sample, F_rep)
         logL_y = diagonal_gaussian_log_likelihood(
-            self._preprocess(Y), self._preprocess(mu_y),
-            2 * self._preprocess(logsigmas_y))
+            self._preprocess(Y_rep), self._preprocess(mu_y),
+            2 * self._preprocess(logsigmas_y)) / S
 
         if normalize:
             bs = X.shape[0]

@@ -45,6 +45,7 @@ DEFAULT_CONFIG = dict(
     N_vo_update_interval=250,
     N_vo_holdoff=100,
     N_monte_carlo_vo=128,
+    N_monte_carlo_elbo=1,  # MC ELBO samples/step (config-3 extension)
     MonitorTraining=True,
 )
 
@@ -236,6 +237,9 @@ class Trainer:
         lr = self.get("lr_init")
         schedule = make_schedule(scheduler_spec, lr)
         self.optimizer = optax.adam(schedule)
+        n_mc = self.get("N_monte_carlo_elbo")
+        if n_mc != self.model.n_mc:
+            self.model = dataclasses.replace(self.model, n_mc=n_mc)
 
         # -- device-resident dataset shards --------------------------------
         dt = self._dtype
@@ -638,7 +642,8 @@ def CreateDataSetsFromPermutation(identifier, permutation, permutation_u,
     if dl is None or dlu is None:
         df = DataFactory.FromIdentifier(identifier)
         dl, dlu = df.setup()
-    dl.assemble(physics, BCE=BCE)
+    if dl._Y is None:  # skip when labels were already assembled
+        dl.assemble(physics, BCE=BCE)
 
     assert len(dl) == len(permutation)
     assert len(dlu) == len(permutation_u)

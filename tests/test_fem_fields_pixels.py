@@ -107,3 +107,33 @@ def test_interpolator_free_dof_restriction():
     assert W.shape == (1023, 25)
     # partition of unity
     np.testing.assert_allclose(W.sum(1), 1.0, rtol=1e-12)
+
+
+def test_matern_kernels():
+    from generative_physics_informed_pde_tpu.fem.randomfield import (
+        stationary_covariance, _kernel_fn)
+    X = pixel_center_points(5, 5)
+    for k in ("matern12", "matern32", "matern52", "se"):
+        C = stationary_covariance(X, 0.7, 0.2, kernel=k)
+        # SPD-ish and correct variance on the diagonal
+        np.testing.assert_allclose(np.diag(C), 0.7 ** 2 + 1e-12, rtol=1e-9)
+        w = np.linalg.eigvalsh(C)
+        assert w.min() > -1e-10
+    # matern32 has the right closed form at r = l
+    f = _kernel_fn("matern32", 1.0, 0.5)
+    r = 0.5
+    c = np.sqrt(3) / 0.5
+    np.testing.assert_allclose(f(r), (1 + c * r) * np.exp(-c * r))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _kernel_fn("bogus", 1.0, 1.0)
+
+
+def test_grf_matern_fft_sampling():
+    rf = GaussianRandomField.from_image(8, 8, mean=0.0, stddev=1.0,
+                                        corrlength=0.2, method="fft",
+                                        kernel="matern32")
+    X = np.asarray(rf.sample(jax.random.PRNGKey(3), batch_size=4000,
+                             dtype=jnp.float64))
+    assert np.isfinite(X).all()
+    np.testing.assert_allclose(X.std(), 1.0, atol=0.1)

@@ -180,3 +180,37 @@ def test_generative_model_elbo_gradients(physics):
     assert float(jnp.abs(grads["q_z"]["supervised"]["mean"]).max()) > 0
     assert float(jnp.abs(grads["q_X"]["supervised"]["mean"]).max()) > 0
     assert float(jnp.abs(grads["g"]["logsigmas_y"]).max()) > 0
+
+
+def test_elbo_multi_mc_samples(physics):
+    """n_mc > 1 gives an unbiased lower-variance ELBO: with deterministic
+    posteriors (logsigma -> -inf surrogate: tiny sigma) the S=1 and S=4
+    values coincide."""
+    import dataclasses as _dc
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model1 = GenerativeModel(f=dec, g=g, gp=gp, encoder=None, n_mc=1,
+                             dtype=jnp.float64)
+    model4 = _dc.replace(model1, n_mc=4)
+    rng = np.random.default_rng(3)
+    Ns = 3
+    X = jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)))
+    Y = jnp.asarray(rng.normal(size=(Ns, physics["fom"].dim_out)))
+    F = jnp.zeros((Ns, physics["rom"].grid.n_nodes))
+    data = {"supervised": {"X": X, "Y": Y, "F_ROM_BC": F}}
+    params, bs = model1.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    # make the posteriors (near-)deterministic so MC draws coincide, with
+    # DISTINCT nonzero means: an all-zero latent batch would make every
+    # BatchNorm degenerate (variance ~ 0) and amplify the residual 1e-9
+    # reparameterisation noise to macroscopic scale
+    for q in (params["q_z"]["supervised"], params["q_X"]["supervised"]):
+        q["logsigma"] = jnp.full_like(q["logsigma"], -20.0)
+        q["mean"] = jnp.asarray(
+            rng.normal(size=q["mean"].shape), dtype=q["mean"].dtype)
+    e1, _, _ = model1.elbo(params, bs, data, jax.random.PRNGKey(1))
+    e4, _, _ = model4.elbo(params, bs, data, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(e1), float(e4), rtol=1e-5)
