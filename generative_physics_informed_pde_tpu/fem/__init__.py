@@ -12,6 +12,7 @@ from .physics import LinearEllipticPhysics, make_fom_rom_pair
 from .interpolation import p1_interpolation_matrix, physics_resolution_interpolator
 from .pixels import PixelConverter
 from .probe import Probe, QOI
+from .forcing import volume_force, neumann_force
 from .randomfield import (GaussianRandomField, convert_log_mean_std,
                           pixel_center_points, squared_exponential_covariance)
 
@@ -24,5 +25,5 @@ __all__ = [
     "p1_interpolation_matrix", "physics_resolution_interpolator",
     "PixelConverter", "GaussianRandomField", "convert_log_mean_std",
     "pixel_center_points", "squared_exponential_covariance",
-    "Probe", "QOI",
+    "Probe", "QOI", "volume_force", "neumann_force",
 ]

@@ -1,0 +1,124 @@
+"""Discriminative model, encoder-based analysis, eval_all, energy-VO
+trainer path, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from generative_physics_informed_pde_tpu import fem
+from generative_physics_informed_pde_tpu.models import (
+    CNNDecoder, CNNEncoder, EffectivePropertyMap, ReducedOrderModelOperator,
+    GenerativeModel, DiscriminativeModel)
+from generative_physics_informed_pde_tpu.inference import Analysis
+from generative_physics_informed_pde_tpu.data import DataLoader
+from generative_physics_informed_pde_tpu.training import (
+    TrainerParameters, CreateTrainerFromPermutation)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    physics = fem.make_fom_rom_pair("NDP", 4, 4, 3)
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    enc = CNNEncoder(imsize=32, latent_dim=8, blocks=(1, 1), growth_rate=4,
+                     init_features=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=enc,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    Ns = 4
+    X = jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(Ns, physics["fom"].dim_out)),
+                    dtype=jnp.float32)
+    F = jnp.zeros((Ns, physics["rom"].grid.n_nodes), dtype=jnp.float32)
+    data = {"supervised": {"X": X, "Y": Y, "F_ROM_BC": F}}
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    return physics, model, params, bs, data
+
+
+def test_discriminative_model(small_model):
+    physics, model, params, bs, data = small_model
+    dm = DiscriminativeModel(model)
+    X, F = data["supervised"]["X"], data["supervised"]["F_ROM_BC"]
+    y = dm(params, bs, X, F)
+    assert y.shape == (X.shape[0], physics["fom"].dim_out)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # FromLatentEncoding path: pass latents directly
+    z = jnp.zeros((2, model.dim_latent))
+    y2 = dm(params, bs, z, F[:2], use_encoder=False)
+    assert y2.shape == (2, physics["fom"].dim_out)
+
+
+def test_analysis_from_encoder_and_eval_all(small_model):
+    physics, model, params, bs, data = small_model
+    d = dict(data["supervised"])
+    analysis, q = Analysis.from_encoder(model, params, bs, d)
+    assert q["mean"].shape == (4, model.dim_latent)
+    logscore, r2, relerr = analysis.eval_all_y(params, q,
+                                               jax.random.PRNGKey(0), 8)
+    assert np.isfinite(logscore) and np.isfinite(relerr)
+    out = analysis.eval_all(params, bs, q, jax.random.PRNGKey(1), 8,
+                            iteration=5)
+    assert np.isfinite(out["relerr_x"]) and np.isfinite(out["logscore_x"])
+    assert analysis.series["relerr_x"].final() == out["relerr_x"]
+    assert analysis.series["relerr_y"].iteration[-1] == 5
+
+
+def test_trainer_energy_vo():
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    dl = DataLoader.from_sampler(rf, 20, key=jax.random.PRNGKey(0))
+    dlu = DataLoader.from_sampler(rf, 8, key=jax.random.PRNGKey(1))
+    dlu.lock_physics_assembly()
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True
+    p.trainer["lr_init"] = 1e-2
+    p.trainer["N_vo_holdoff"] = 2
+    p.trainer["N_vo_update_interval"] = 4
+    p.scheduler = {"milestones": [10], "factor": 0.5}
+    p.data.update(N_u=8, N_s=8, N_u_max=8, N_s_max=8, N_vo_max=4, N_vo=4,
+                  N_val=4, armortized_bs=4,
+                  vo_spec={"type": "energy", "l_rbf": 0.25, "N_rbf": 6,
+                           "energy_num_iterations_per_update": 3,
+                           "T_init": 1.0, "T_final": 0.01,
+                           "T_iterations": 1000})
+    tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    tr.run(8, verbose=False)
+    assert tr._vo_is_initialized
+    assert bool(jnp.all(jnp.isfinite(tr.VO.mean)))
+    assert tr.VO.temperature < 1.0  # schedule advanced
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
+    dlu = DataLoader.from_sampler(rf, 8, key=jax.random.PRNGKey(1))
+    dlu.lock_physics_assembly()
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True
+    p.trainer["lr_init"] = 1e-2
+    p.scheduler = {"milestones": [50], "factor": 0.5}
+    p.data.update(N_u=8, N_s=8, N_u_max=8, N_s_max=8, N_vo_max=0, N_vo=0,
+                  N_val=4, armortized_bs=4, vo_spec={})
+    tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    tr.run(4, verbose=False)
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+    ref = np.asarray(tr.state.params["q_z"]["supervised"]["mean"]).copy()
+    tr.state = tr.state.replace(
+        params=jax.tree_util.tree_map(jnp.zeros_like, tr.state.params))
+    tr.restore_checkpoint(ck)
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params["q_z"]["supervised"]["mean"]), ref)
+    assert tr.gn == 4
+    tr.run(2, verbose=False)  # resumes cleanly
+    assert tr.gn == 6
