@@ -235,8 +235,26 @@ class Trainer:
         if self._config is None:
             raise RuntimeError("Config has not yet been setup")
         lr = self.get("lr_init")
-        schedule = make_schedule(scheduler_spec, lr)
-        self.optimizer = optax.adam(schedule)
+        self._plateau = None
+        if scheduler_spec and "patience" in scheduler_spec:
+            # ReduceLROnPlateau (reference: lamp/optimization.py:30-37):
+            # metric-driven, so the scale lives outside jit -- we inject
+            # the learning rate as an optimizer hyperparameter and the
+            # host adjusts it at monitor points.
+            from .schedules import PlateauController
+
+            self._plateau = PlateauController(
+                patience=scheduler_spec["patience"],
+                threshold=scheduler_spec.get("threshold", 1e-3),
+                factor=scheduler_spec.get("factor", 0.1),
+                min_lr=scheduler_spec.get("min_lr", 1e-3),
+                mode=scheduler_spec.get("mode", "max"), lr_init=lr)
+            self.optimizer = optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr)
+            schedule = make_schedule(None, lr)
+        else:
+            schedule = make_schedule(scheduler_spec, lr)
+            self.optimizer = optax.adam(schedule)
         n_mc = self.get("N_monte_carlo_elbo")
         if n_mc != self.model.n_mc:
             self.model = dataclasses.replace(self.model, n_mc=n_mc)
@@ -282,7 +300,9 @@ class Trainer:
             k_init, init_sets, data_sup["X"].shape[1:])
 
         # -- prediction ensemble -------------------------------------------
-        pe_sched = make_schedule(scheduler_spec, lr,
+        pe_spec = None if (scheduler_spec and "patience" in scheduler_spec) \
+            else scheduler_spec
+        pe_sched = make_schedule(pe_spec, lr,
                                  steps_per_update=self.get("N_PE_updates"))
         self._PE = PredictionEnsemble(
             model=self.model, X=ds["validation"].get("X"),
@@ -425,11 +445,19 @@ class Trainer:
         self._vo_is_initialized = True
 
     # ---------------------------------------------------------------- run
-    def run(self, N: int, verbose: bool = True, callback=None):
-        """The SVI loop (reference: training.py:393-462)."""
+    def run(self, N: int, verbose: bool = True, callback=None,
+            profile_dir: Optional[str] = None):
+        """The SVI loop (reference: training.py:393-462).
+
+        ``profile_dir``: capture an XLA/TPU profiler trace of the run
+        (beyond the reference, which only has wall-clock timers --
+        SURVEY §5); view with tensorboard or xprof.
+        """
         if self._finalized:
             raise RuntimeError("Cannot run trainer which has already been"
                                " finalized")
+        if profile_dir is not None:
+            jax.profiler.start_trace(profile_dir)
         t_start = time.time()
         dummy_vo = (jnp.zeros((1, 1), dtype=self._dtype),) * 2
         last_elbo = None
@@ -476,6 +504,12 @@ class Trainer:
             self._global_iteration_counter += chunk
 
             if mi > 0 and n_last % mi == 0 and n_last > 0:
+                if self._plateau is not None:
+                    scale = self._plateau.step(float(last_elbo))
+                    hp = self.state.opt_state.hyperparams
+                    hp["learning_rate"] = jnp.asarray(
+                        self._plateau.lr_init * scale,
+                        dtype=hp["learning_rate"].dtype)
                 self._record(n_last, logs)
                 if verbose:
                     print(f"Step: {n_last} / {N} || "
@@ -498,6 +532,8 @@ class Trainer:
             self.get("N_monte_carlo_analysis_final"),
             iteration=self.gn + self.get("N_PE_updates_final"))
         self._global_runtime += time.time() - t_start
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
 
     # ---------------------------------------------------------- monitoring
     def _record(self, n: int, logs: dict):

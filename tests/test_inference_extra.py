@@ -122,3 +122,26 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     assert tr.gn == 4
     tr.run(2, verbose=False)  # resumes cleanly
     assert tr.gn == 6
+
+
+def test_trainer_plateau_scheduler():
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
+    dlu = DataLoader.from_sampler(rf, 8, key=jax.random.PRNGKey(1))
+    dlu.lock_physics_assembly()
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True   # monitor every 5 steps
+    p.trainer["lr_init"] = 1e-2
+    p.scheduler = {"patience": 0, "factor": 0.5, "min_lr": 1e-4,
+                   "threshold": 1e12}  # impossible threshold -> always decay
+    p.data.update(N_u=8, N_s=8, N_u_max=8, N_s_max=8, N_vo_max=0, N_vo=0,
+                  N_val=4, armortized_bs=4, vo_spec={})
+    tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr._plateau is not None
+    tr.run(12, verbose=False)
+    lr_now = float(tr.state.opt_state.hyperparams["learning_rate"])
+    assert lr_now < 1e-2  # decayed at least once
+    assert lr_now >= 1e-4 - 1e-12
