@@ -177,6 +177,20 @@ class Trainer:
     def gn(self) -> int:
         return self._global_iteration_counter
 
+    def tinfo(self, N: Optional[int] = None):
+        """Average seconds/iteration + projection (reference:
+        training.py:265-273)."""
+        if self.gn == 0:
+            return
+        avg = self._global_runtime / self.gn
+        print(f"{self.gn} iterations in {self._global_runtime} seconds : "
+              f"that makes on average {avg} seconds per iteration")
+        if N is not None:
+            print(f"Will require (approx) {avg * N} for {N} iterations")
+
+    def reset(self):
+        raise NotImplementedError  # reference parity (training.py:235-236)
+
     @property
     def mf(self):
         return self._mf
@@ -518,12 +532,17 @@ class Trainer:
             if callback is not None:
                 callback(n_last, self.gn)
 
-        # final PE refinement + eval (reference: training.py:457-460)
-        for nl in range(self.gn, self.gn + self.get("N_PE_updates_final")):
-            key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 13), nl)
-            pe_q, pe_opt_state, _, _ = self._PE.update(
+        # final PE refinement + eval (reference: training.py:457-460),
+        # fused into ONE jitted call (an eager per-call loop pays remote
+        # dispatch latency 250 times over)
+        n_final = self.get("N_PE_updates_final") * self.get("N_PE_updates")
+        if n_final > 0:
+            pe_update = jax.jit(self._PE.update, static_argnames=("num_iter",))
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 13),
+                                     self.gn)
+            pe_q, pe_opt_state, _, _ = pe_update(
                 self.state.params, self.state.batch_stats, self.state.pe_q,
-                self.state.pe_opt_state, key, self.get("N_PE_updates"))
+                self.state.pe_opt_state, key, num_iter=n_final)
             self.state = self.state.replace(pe_q=pe_q,
                                             pe_opt_state=pe_opt_state)
         self._analysis.eval_all_y(
