@@ -30,7 +30,8 @@ class MetricsWriter:
         if logdir is not None:
             os.makedirs(logdir, exist_ok=True)
             fname = f"metrics{('_' + comment) if comment else ''}.jsonl"
-            self._fh = open(os.path.join(logdir, fname), "a")
+            # line-buffered: scalars must survive a killed run
+            self._fh = open(os.path.join(logdir, fname), "a", buffering=1)
             if mirror_tensorboard:
                 try:  # pragma: no cover - optional dependency
                     from torch.utils.tensorboard import SummaryWriter
