@@ -217,9 +217,16 @@ class Trainer:
         if Nvo > 0:
             assert "vo" in datasets and datasets["vo"].N > 0
             datasets["vo"].restrict(Nvo)
+        else:
+            datasets.pop("vo", None)
         if Nu > 0:
             assert "unsupervised" in datasets and datasets["unsupervised"].N > 0
             datasets["unsupervised"].restrict(Nu)
+        else:
+            # N_u == 0 disables the unsupervised term entirely (a leftover
+            # partition chunk must not leak into the ELBO)
+            datasets.pop("unsupervised", None)
+            armortized_bs = None
 
         if Nvo > 0 and VO is None:
             from ..constraints import build_virtual_observables_ensemble

@@ -162,3 +162,18 @@ def test_metrics_writer(tmp_path):
     w.add_scalar("a/b", 3.0, 2)
     assert [v for _, v in w.scalars["a/b"]] == [1.0, 3.0]
     w.close()
+
+
+def test_trainer_zero_unsupervised(small_loaders):
+    """N_u=0 with a leftover 'unsupervised' chunk must cleanly disable the
+    unsupervised ELBO term (regression: the amortized minibatch draw used
+    a None batch size)."""
+    dl, dlu = small_loaders
+    params = _params(N_u=0, armortized_bs=None)
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert "unsupervised" not in (tr.datasets or {})
+    tr.run(3, verbose=False)
+    assert np.isfinite(tr._monitor["elbo"][-1] if tr._monitor["elbo"]
+                       else 0.0)
