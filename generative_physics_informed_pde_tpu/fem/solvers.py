@@ -44,15 +44,42 @@ def stiffness_from_tensor(M: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
-              bc_dofs: jnp.ndarray) -> jnp.ndarray:
+              bc_dofs: jnp.ndarray, max_chunk: int = 512) -> jnp.ndarray:
     """Differentiable batched coarse solve ``K(alpha) y = F``.
 
     alpha: (..., c) positive conductivities; F: (..., d) force vectors that
     already carry the Dirichlet values at ``bc_dofs`` (reference:
     bottleneck/ROM.py:65-88 __call__).  Returns (..., d).
+
+    Very large batches (e.g. N x n_mc Monte-Carlo ensembles) are solved in
+    ``max_chunk``-sized chunks via ``lax.map`` -- the TPU triangular-solve
+    kernel allocates scoped VMEM proportional to the batch and OOMs
+    beyond ~1-2k systems of this size.
     """
-    K = stiffness_from_tensor(M, alpha, bc_dofs)
-    return jnp.linalg.solve(K, F[..., None])[..., 0]
+    batch_shape = alpha.shape[:-1]
+    total = int(np.prod(batch_shape)) if batch_shape else 1
+    if total <= max_chunk:
+        K = stiffness_from_tensor(M, alpha, bc_dofs)
+        return jnp.linalg.solve(K, F[..., None])[..., 0]
+
+    c, d = alpha.shape[-1], F.shape[-1]
+    a2 = alpha.reshape(total, c)
+    f2 = jnp.broadcast_to(F, batch_shape + (d,)).reshape(total, d)
+    n_chunks = -(-total // max_chunk)
+    pad = n_chunks * max_chunk - total
+    a2 = jnp.pad(a2, ((0, pad), (0, 0)), constant_values=1.0)
+    f2 = jnp.pad(f2, ((0, pad), (0, 0)))
+
+    def solve_chunk(args):
+        a, f = args
+        K = stiffness_from_tensor(M, a, bc_dofs)
+        return jnp.linalg.solve(K, f[..., None])[..., 0]
+
+    out = jax.lax.map(solve_chunk,
+                      (a2.reshape(n_chunks, max_chunk, c),
+                       f2.reshape(n_chunks, max_chunk, d)))
+    return out.reshape(n_chunks * max_chunk, d)[:total].reshape(
+        batch_shape + (d,))
 
 
 # --------------------------------------------------------------------------
