@@ -265,21 +265,25 @@ class DataLoader:
     def from_sampler(cls, sampler, N: int, key=None,
                      dtype=jnp.float64) -> "DataLoader":
         """Vectorised replacement for the per-sample loop of
-        utils/data.py:312-325."""
-        key = key if key is not None else jax.random.PRNGKey(0)
-        # field sampling is a one-time host-side job and may use complex
-        # FFTs (unsupported on some TPU runtimes) -- run it on the CPU
-        # backend; training-time arrays are device-placed later.
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                X = np.asarray(sampler.sample(key, batch_size=N, dtype=dtype))
-        else:  # pragma: no cover
-            X = np.asarray(sampler.sample(key, batch_size=N, dtype=dtype))
-        return cls(X=X)
+        utils/data.py:312-325.
+
+        Sampling runs host-side in numpy (``sample_numpy``): it is a
+        one-time job, complex FFTs are unsupported on some TPU runtimes,
+        and even CPU-backend jax dispatch pays tunnel overheads there.
+        ``key`` seeds the numpy generator for reproducibility.
+        """
+        if key is None:
+            seed = 0
+        elif hasattr(key, "dtype"):
+            seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        else:
+            seed = int(key)
+        if hasattr(sampler, "sample_numpy"):
+            X = sampler.sample_numpy(np.random.default_rng(seed), N)
+        else:  # generic jax sampler fallback
+            X = np.asarray(sampler.sample(jax.random.PRNGKey(seed),
+                                          batch_size=N, dtype=dtype))
+        return cls(X=np.asarray(X, dtype=np.float64))
 
     def __repr__(self):  # pragma: no cover
         return (f"DataLoader with {self.N} random field realizations "

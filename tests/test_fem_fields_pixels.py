@@ -137,3 +137,22 @@ def test_grf_matern_fft_sampling():
                              dtype=jnp.float64))
     assert np.isfinite(X).all()
     np.testing.assert_allclose(X.std(), 1.0, atol=0.1)
+
+
+def test_sample_numpy_matches_statistics():
+    """Host-side numpy sampling reproduces the kernel statistics of the
+    jax path (different stream, same law)."""
+    rng = np.random.default_rng(0)
+    rf = GaussianRandomField.from_image(6, 6, mean=0.3, stddev=0.9,
+                                        corrlength=0.25, truncation=None)
+    X = rf.sample_numpy(rng, 20000).reshape(20000, -1)
+    C_emp = np.cov(X.T)
+    C = squared_exponential_covariance(pixel_center_points(6, 6), 0.9, 0.25)
+    np.testing.assert_allclose(C_emp, C, atol=0.06)
+    np.testing.assert_allclose(X.mean(), 0.3, atol=0.02)
+    # fft path
+    rf2 = GaussianRandomField.from_image(8, 8, mean=0.0, stddev=0.5,
+                                         corrlength=0.15, method="fft")
+    X2 = rf2.sample_numpy(rng, 20000).reshape(20000, -1)
+    C2 = squared_exponential_covariance(pixel_center_points(8, 8), 0.5, 0.15)
+    np.testing.assert_allclose(np.cov(X2.T), C2, atol=0.03)
