@@ -44,7 +44,7 @@ def stiffness_from_tensor(M: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
-              bc_dofs: jnp.ndarray, max_chunk: int = 512) -> jnp.ndarray:
+              bc_dofs: jnp.ndarray, max_chunk: int = 128) -> jnp.ndarray:
     """Differentiable batched coarse solve ``K(alpha) y = F``.
 
     alpha: (..., c) positive conductivities; F: (..., d) force vectors that
@@ -52,9 +52,9 @@ def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
     bottleneck/ROM.py:65-88 __call__).  Returns (..., d).
 
     Very large batches (e.g. N x n_mc Monte-Carlo ensembles) are solved in
-    ``max_chunk``-sized chunks via ``lax.map`` -- the TPU triangular-solve
-    kernel allocates scoped VMEM proportional to the batch and OOMs
-    beyond ~1-2k systems of this size.
+    ``max_chunk``-sized chunks via ``lax.map``: the TPU triangular-solve
+    kernel's scoped-VMEM allocation OOMs beyond ~128 systems of ~81 dofs
+    (measured on v5e; the forward+VJP pair at B=256 already fails).
     """
     batch_shape = alpha.shape[:-1]
     total = int(np.prod(batch_shape)) if batch_shape else 1
