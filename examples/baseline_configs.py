@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Runner for the five BASELINE.json benchmark configurations.
+
+    python examples/baseline_configs.py <config> [iterations]
+
+1. 32x32 Darcy, fully labeled, small latent — the example.ipynb recipe
+   (CPU-runnable).
+2. Semi-supervised: 64 labeled + 1024 unlabeled fields with
+   virtual-observable constraints on a 64^2 grid.
+3. High-contrast Matern random-field conductivity at 128^2 with 16 MC
+   ELBO samples per SVI step.
+4. Coarse-grained mismatch study: 8^2 embedded CGM vs a 256^2 FOM,
+   amortized encoder over 10k realisations.
+5. Data-parallel: 4096 batched PDE solves/step for a posterior-predictive
+   uncertainty-propagation sweep (see examples/uncertainty_study.py; on a
+   multi-chip mesh pass --mesh N).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import numpy as np
+import jax
+
+from generative_physics_informed_pde_tpu.data import DataLoader
+from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+from generative_physics_informed_pde_tpu.training import (
+    TrainerParameters, CreateTrainerFromPermutation)
+
+
+def _loaders(rf, n_labeled, n_unlabeled, seed=0):
+    dl = DataLoader.from_sampler(rf, n_labeled, key=seed)
+    dlu = DataLoader.from_sampler(rf, n_unlabeled, key=seed + 1)
+    dlu.lock_physics_assembly()
+    return dl, dlu
+
+
+def _run(params, dl, dlu, iterations):
+    t0 = time.time()
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    print(f"setup: {time.time() - t0:.1f}s", flush=True)
+    tr.info()
+    t0 = time.time()
+    tr.run(iterations, verbose=True)
+    dt = time.time() - t0
+    print(f"{iterations} iters in {dt:.1f}s -> {iterations / dt:.1f} steps/s",
+          flush=True)
+    print("results:", tr.results(), flush=True)
+    return tr
+
+
+def config1(iterations=15000):
+    """Fully-labeled 32^2 (the example recipe with N_u=0)."""
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.trainer.update(lr_init=1e-2, N_monitor_interval=1000)
+    p.scheduler = {"milestones": [250, 1500], "factor": math.sqrt(0.1)}
+    p.data.update(N_u=0, N_s=128, N_u_max=0, N_s_max=128, N_vo_max=0,
+                  N_vo=0, N_val=128, armortized_bs=None, vo_spec={})
+    rf = GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    dl, dlu = _loaders(rf, 256, 1)
+    return _run(p, dl, dlu, iterations)
+
+
+def config2(iterations=3000):
+    """Semi-supervised 64^2 with virtual observables: 64 labeled + 1024
+    unlabeled + 64 VO-constrained fields."""
+    p = TrainerParameters()
+    p.identifier = "highres"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=500,
+                     N_vo_holdoff=250, N_vo_update_interval=250,
+                     N_monte_carlo_vo=64)
+    p.scheduler = {"milestones": [500, 1500], "factor": math.sqrt(0.1)}
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+                  N_vo=64, N_val=64, armortized_bs=64,
+                  vo_spec={"type": "constrain", "CGR": True, "flux": True,
+                           "N_gaussian": 8, "N_rbf": 8, "l_rbf": 0.2})
+    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
+    dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
+    return _run(p, dl, dlu, iterations)
+
+
+def config3(iterations=600):
+    """High-contrast Matern at 128^2 with 16 MC ELBO samples per step."""
+    p = TrainerParameters()
+    p.identifier = "highres128"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=200,
+                     N_monte_carlo_elbo=16, N_monte_carlo_analysis=16)
+    p.scheduler = {"milestones": [400], "factor": 0.5}
+    p.data.update(N_u=256, N_s=128, N_u_max=256, N_s_max=128, N_vo_max=0,
+                  N_vo=0, N_val=64, armortized_bs=32, vo_spec={})
+    rf = GaussianRandomField.from_image(128, 128, 0.4, 1.0, 0.08,
+                                        method="fft", kernel="matern32")
+    dl, dlu = _loaders(rf, 128 + 64, 256)
+    return _run(p, dl, dlu, iterations)
+
+
+def config4(iterations=2000):
+    """CGM-mismatch study: 8^2 embedded coarse model against a 256^2 FOM,
+    amortized encoder over 10k unlabeled realisations."""
+    p = TrainerParameters()
+    p.identifier = "highres128"
+    p.margs = {"num_refines": 5, "nx_rom": 8, "ny_rom": 8}  # FOM 256^2
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
+    p.scheduler = {"milestones": [1000], "factor": 0.5}
+    p.data.update(N_u=10240, N_s=64, N_u_max=10240, N_s_max=64, N_vo_max=0,
+                  N_vo=0, N_val=32, armortized_bs=32, vo_spec={})
+    rf = GaussianRandomField.from_image(256, 256, 0.4, 0.8, 0.08,
+                                        method="fft")
+    dl, dlu = _loaders(rf, 64 + 32, 10240)
+    return _run(p, dl, dlu, iterations)
+
+
+def config5():
+    """4096 batched PDE solves/step uncertainty sweep."""
+    import subprocess
+    import os
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(__file__),
+                                 "uncertainty_study.py"), "4096"],
+                   check=True)
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "1"
+    args = [int(a) for a in sys.argv[2:3]]
+    CONFIGS[which](*args)

@@ -203,16 +203,23 @@ class highres128(ModelFactory):
         self.set(kwargs)
 
     def setup(self):
+        import math
+
         physics = self._setup_physics()
-        target = self._gp("nx_rom") * 2 ** self._gp("num_refines")  # 128
+        target = self._gp("nx_rom") * 2 ** self._gp("num_refines")
+        # decoder up-sampling count adapts to the target resolution
+        # (128 -> 4 blocks, 256 -> 5, ...)
+        n_up = int(math.log2(target // 8))
+        dec_blocks = tuple(([1, 2, 1, 1, 1, 1])[:n_up])
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=2, init_features=16,
-            blocks=(1, 2, 1, 1), growth_rate=8,
+            blocks=dec_blocks, growth_rate=8,
             drop_rate=self.params["droprate"], upsample="nearest")
+        enc_blocks = tuple([1, 2, 1, 1, 1][: max(2, n_up - 1)])
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"),
-            blocks=(1, 2, 1), growth_rate=8, init_features=16,
+            blocks=enc_blocks, growth_rate=8, init_features=16,
             drop_rate=self.params["droprate"])
         if not self.params["use_encoder"]:
             encoder = None
