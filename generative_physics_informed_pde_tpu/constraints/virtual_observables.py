@@ -29,7 +29,7 @@ Architectural differences from the reference:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import cached_property, partial
 from typing import Optional, Sequence
 
 import numpy as np
@@ -327,6 +327,10 @@ class VirtualObservablesEnsemble:
         self._prec_beta = jnp.ones(self.m, dtype=self.dtype)
         self.vo_variances = self._mean_vo_variances()
         self._precision_initialized = False
+        # jit the test-function sampling: the stencil-based Gamma assembly
+        # is many small ops and eager dispatch is pathological on remote
+        # TPU runtimes
+        self._sample_jit = jax.jit(lambda key: sampler.sample(qpe, key))
         self.resample(jax.random.PRNGKey(0), force=True)
 
     # ------------------------------------------------------------ state
@@ -375,7 +379,7 @@ class VirtualObservablesEnsemble:
         VirtualObservables.py:414-421,484-486)."""
         if self.sampler.is_constant and not force and self._Gamma is not None:
             return
-        Gamma, alpha = self.sampler.sample(self.qpe, key)
+        Gamma, alpha = self._sample_jit(key)
         self._Gamma = Gamma.astype(self.dtype)
         self._alpha = alpha.astype(self.dtype)
 
@@ -546,6 +550,49 @@ class EnergyVirtualObservablesEnsemble:
             writer.add_scalar("Monitoring/Temperature", self._temperature,
                               global_step=iteration)
 
+    @cached_property
+    def _update_jit(self):
+        """Jitted update core (eager dispatch of the subspace iteration is
+        pathological on remote TPU runtimes)."""
+        qpe = self.qpe
+        op = qpe.physics.op
+        free = jnp.asarray(qpe.physics.profile.free_dofs)
+        n_nodes = qpe.physics.grid.n_nodes
+        sampler = self.sampler
+        n_iter = self.num_iterations_per_update
+        dtype = self.dtype
+
+        def apply_A(alpha, prec, inv_T, v):
+            """(diag(prec) + inv_T * K_ff) v for one sample."""
+            coefs = op.coefficients(alpha)
+            v_full = jnp.zeros(n_nodes, v.dtype).at[free].set(v)
+            Kv = op.to_flat(op.apply_coeff(coefs, op.to_nodegrid(v_full)))
+            return prec * v + inv_T * Kv[free]
+
+        @jax.jit
+        def run(mean0, G, PREC, inv_T, key):
+            f_eff = qpe.f_eff().astype(dtype)
+            b = inv_T * f_eff + PREC * G
+
+            def body(i, mean):
+                k = jax.random.fold_in(key, i)
+                V = sampler.sample_V(k, qpe.N, dtype)  # (N, d, s)
+
+                def single(alpha, prec, bn, mn, Vn):
+                    AV = jax.vmap(
+                        lambda col: apply_A(alpha, prec, inv_T, col),
+                        in_axes=1, out_axes=1)(Vn)  # (d, s)
+                    Msub = Vn.T @ AV
+                    r = Vn.T @ (apply_A(alpha, prec, inv_T, mn) - bn)
+                    return mn - Vn @ jnp.linalg.solve(Msub, r)
+
+                return jax.vmap(single)(qpe.alpha.astype(dtype), PREC, b,
+                                        mean, V)
+
+            return jax.lax.fori_loop(0, n_iter, body, mean0)
+
+        return run
+
     def update(self, G, PREC, iteration: int, writer=None):
         """(reference: VirtualObservables.py:769-788)"""
         self.update_vo_precision(iteration, writer)
@@ -553,40 +600,8 @@ class EnergyVirtualObservablesEnsemble:
         G = G.astype(self.dtype)
         PREC = PREC.astype(self.dtype)
         self._vars = 1.0 / (PREC + inv_T * self._K_diag)
-
-        qpe = self.qpe
-        op = qpe.physics.op
-        free = jnp.asarray(qpe.physics.profile.free_dofs)
-        n_nodes = qpe.physics.grid.n_nodes
-        f_eff = qpe.f_eff().astype(self.dtype)
-        b = inv_T * f_eff + PREC * G
         key = jax.random.fold_in(jax.random.PRNGKey(101), iteration)
-
-        def apply_A(alpha, prec, v):
-            """(diag(prec) + inv_T * K_ff) v for one sample."""
-            coefs = op.coefficients(alpha)
-            v_full = jnp.zeros(n_nodes, v.dtype).at[free].set(v)
-            Kv = op.to_flat(op.apply_coeff(coefs, op.to_nodegrid(v_full)))
-            return prec * v + inv_T * Kv[free]
-
-        s = self.sampler.N_aux
-
-        def body(i, mean):
-            k = jax.random.fold_in(key, i)
-            V = self.sampler.sample_V(k, self.N, self.dtype)  # (N, d, s)
-
-            def single(alpha, prec, bn, mn, Vn):
-                AV = jax.vmap(lambda col: apply_A(alpha, prec, col),
-                              in_axes=1, out_axes=1)(Vn)  # (d, s)
-                M = Vn.T @ AV
-                r = Vn.T @ (apply_A(alpha, prec, mn) - bn)
-                return mn - Vn @ jnp.linalg.solve(M, r)
-
-            return jax.vmap(single)(qpe.alpha.astype(self.dtype), PREC, b,
-                                    mean, V)
-
-        self._mean = jax.lax.fori_loop(0, self.num_iterations_per_update,
-                                       body, self._mean)
+        self._mean = self._update_jit(self._mean, G, PREC, inv_T, key)
 
 
 # ---------------------------------------------------------------------------

@@ -350,6 +350,21 @@ class Trainer:
         self._analysis_training = Analysis(model=self.model, data=data_sup,
                                            label="training",
                                            writer=self.writer)
+        self._analysis_encoder = None
+        self._encoder_q_fn = None
+        if self.model.encoder is not None:
+            self._analysis_encoder = Analysis(
+                model=self.model, data=data_val, label="validation_encoder",
+                writer=self.writer)
+            X_val = data_val["X"]
+
+            @jax.jit
+            def encoder_q(params, batch_stats):
+                (mean, logsigma), _ = self.model.apply_encoder(
+                    params, batch_stats, X_val, train=False)
+                return {"mean": mean, "logsigma": logsigma}
+
+            self._encoder_q_fn = encoder_q
         self.writer.logging_interval = self.get(
             "N_tensorboard_logging_interval")
 
@@ -591,12 +606,10 @@ class Trainer:
             self._analysis_training.eval_all_y(
                 self.state.params, q_sup, key,
                 self.get("N_monte_carlo_analysis"), iteration=gn)
-            if self.model.encoder is not None:
-                analysis_enc, q_enc = Analysis.from_encoder(
-                    self.model, self.state.params, self.state.batch_stats,
-                    self._data_val, label="validation_encoder",
-                    writer=self.writer)
-                logscore, r2, relerr = analysis_enc.eval_all_y(
+            if self._analysis_encoder is not None:
+                q_enc = self._encoder_q_fn(self.state.params,
+                                           self.state.batch_stats)
+                logscore, r2, relerr = self._analysis_encoder.eval_all_y(
                     self.state.params, q_enc, key,
                     self.get("N_monte_carlo_analysis_final"))
                 self.writer.add_scalar("validation_encoder/logscore_y",
