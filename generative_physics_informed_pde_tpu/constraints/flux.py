@@ -39,7 +39,6 @@ import dataclasses
 from functools import cached_property
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..fem.grid import StructuredTriGrid

@@ -11,7 +11,7 @@ form itself is problem-independent.
 
 from __future__ import annotations
 
-from functools import cached_property, partial
+from functools import cached_property
 
 import numpy as np
 import jax
@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 from .grid import StructuredTriGrid
 from .assembly import StencilOperator, assembly_tensor
-from .bc import FAMILIES, BoundaryConditionEnsemble, DirichletProfile
-from .solvers import make_fom_solver, rom_solve
+from .bc import FAMILIES, DirichletProfile
+from .solvers import make_fom_solver
 from .pixels import PixelConverter
 
 

@@ -15,7 +15,6 @@ TPU-native replacements for:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

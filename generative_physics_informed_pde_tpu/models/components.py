@@ -11,7 +11,6 @@ batch, LU on the MXU.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ resume of ``Trainer.run``.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 

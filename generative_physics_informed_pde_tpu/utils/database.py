@@ -11,7 +11,6 @@ Persistence is JSON+npz (no pickle of arbitrary objects).
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
