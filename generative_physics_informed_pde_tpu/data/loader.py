@@ -108,11 +108,21 @@ class DataLoader:
         vals = self._BCE.constrained_values("fom")
         Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
         solve = fom.solve_batched
-        for start in range(0, self.N, label_batch):
-            sl = slice(start, min(start + label_batch, self.N))
-            Y[sl] = np.asarray(
-                solve(jnp.exp(jnp.asarray(self._X_DG[sl])),
-                      jnp.asarray(vals[sl])))
+        # cap per-dispatch batch by grid size to bound device peak memory
+        # (a 96x 256^2 MG solve has crashed a TPU worker)
+        label_batch = max(8, min(label_batch, 2 ** 22 // fom.grid.n_cells))
+        n_batches = -(-self.N // label_batch)
+        for k in range(n_batches):
+            sl = slice(k * label_batch, min((k + 1) * label_batch, self.N))
+            # pad the tail so every dispatch reuses one compiled shape
+            a = np.exp(self._X_DG[sl])
+            v = vals[sl]
+            pad = label_batch - a.shape[0]
+            if pad:
+                a = np.concatenate([a, np.ones((pad,) + a.shape[1:])])
+                v = np.concatenate([v, np.zeros((pad,) + v.shape[1:])])
+            out = np.asarray(solve(jnp.asarray(a), jnp.asarray(v)))
+            Y[sl] = out[: sl.stop - sl.start]
         self._Y = Y
         self._F_ROM_BC = self._BCE.full_f_with_applied_bc("rom")
 
