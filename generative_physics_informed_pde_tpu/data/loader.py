@@ -103,7 +103,10 @@ class DataLoader:
 
         fom = physics["fom"]
         conv = PixelConverter(fom.grid)
-        self._X_DG = np.asarray(conv.image_to_function(jnp.asarray(self._X)))
+        # pure index op -- run host-side (large device round-trips through
+        # tunneled runtimes are slow and have crashed TPU workers)
+        cell_to_pixel = np.asarray(conv._cell_to_pixel)
+        self._X_DG = self._X.reshape(self.N, -1)[:, cell_to_pixel]
 
         vals = self._BCE.constrained_values("fom")
         Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
