@@ -85,11 +85,12 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1
     if precond == "auto":
-        # multigrid pays off from ~128^2 upward; below that the Jacobi
-        # path is competitive and compiles much faster (the unrolled
-        # V-cycle is a large HLO for remote-compile TPU runtimes)
-        mg_ok = (grid.nx == grid.ny and grid.nx >= 128
-                 and grid.nx % 4 == 0)
+        # multigrid pays off from ~128^2 upward; below that Jacobi is
+        # competitive and compiles much faster.  At 256^2 the V-cycle
+        # triggers a TPU-runtime kernel fault for batches > ~8 (observed
+        # on v5e), so auto only selects mg at exactly 128^2; larger grids
+        # can opt in explicitly with precond='mg' at small batch.
+        mg_ok = (grid.nx == grid.ny and grid.nx == 128)
         precond = "mg" if mg_ok else "jacobi"
     mg = None
     if precond == "mg":
