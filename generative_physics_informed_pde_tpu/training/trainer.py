@@ -381,30 +381,39 @@ class Trainer:
         model = self.model
         optimizer = self.optimizer
         pe = self._PE
-        data_sup, data_vo, X_unsup = (self._data_sup, self._data_vo,
-                                      self._X_unsup)
         armortized_bs = self._armortized_bs
         n_pe = self.get("N_PE_updates")
         normalize = self.get("normalize")
         l2_penalty = self.get("l2_penalty")
         amortized = model.encoder is not None
 
-        def step_body(state: TrainState, vo_mean, vo_logsigma,
+        # the dataset shards are passed as ARGUMENTS, never closed over:
+        # closure constants get serialized into the HLO, which blows up
+        # compile payloads at scale (a 256^2 run shipped 270MB of data to
+        # the compiler before this).
+        step_data = {"sup": self._data_sup}
+        if self._X_unsup is not None:
+            step_data["unsup"] = self._X_unsup
+        if self._data_vo is not None:
+            step_data["vo"] = self._data_vo
+        self._step_data = step_data
+
+        def step_body(state: TrainState, step_data, vo_mean, vo_logsigma,
                       holdoff: bool):
             key, k_batch, k_elbo, k_pe = jax.random.split(state.key, 4)
 
-            data = {"supervised": data_sup}
-            if X_unsup is not None:
+            data = {"supervised": step_data["sup"]}
+            if "unsup" in step_data:
+                X_unsup = step_data["unsup"]
                 if amortized:
                     idx = jax.random.choice(k_batch, X_unsup.shape[0],
                                             (armortized_bs,), replace=False)
                     data["unsupervised"] = {"X": X_unsup[idx]}
                 else:
                     data["unsupervised"] = {"X": X_unsup}
-            if data_vo is not None:
-                data["vo"] = data_vo
             vo_state = None
-            if data_vo is not None:
+            if "vo" in step_data:
+                data["vo"] = step_data["vo"]
                 vo_state = (vo_mean, vo_logsigma)
 
             def loss(p):
@@ -438,23 +447,29 @@ class Trainer:
 
         @partial(jax.jit, static_argnames=("holdoff", "n_steps"),
                  donate_argnums=(0,))
-        def train_step_n(state: TrainState, vo_mean, vo_logsigma, *,
-                         holdoff: bool, n_steps: int = 1):
+        def train_step_n(state: TrainState, step_data, vo_mean, vo_logsigma,
+                         *, holdoff: bool, n_steps: int = 1):
             """n_steps SVI iterations fused into one dispatch (lax.scan):
             amortises host->device launch latency, critical on remote TPU
             runtimes.  Returns the LAST step's logs."""
             if n_steps == 1:
-                return step_body(state, vo_mean, vo_logsigma, holdoff)
+                return step_body(state, step_data, vo_mean, vo_logsigma,
+                                 holdoff)
 
             def scan_body(st, _):
-                st, logs = step_body(st, vo_mean, vo_logsigma, holdoff)
+                st, _logs = step_body(st, step_data, vo_mean, vo_logsigma,
+                                      holdoff)
                 return st, None
 
             # run n-1 logless steps, then one with logs
             state, _ = jax.lax.scan(scan_body, state, None, length=n_steps - 1)
-            return step_body(state, vo_mean, vo_logsigma, holdoff)
+            return step_body(state, step_data, vo_mean, vo_logsigma, holdoff)
 
-        return train_step_n
+        def run_step(state, vo_mean, vo_logsigma, *, holdoff, n_steps=1):
+            return train_step_n(state, self._step_data, vo_mean, vo_logsigma,
+                                holdoff=holdoff, n_steps=n_steps)
+
+        return run_step
 
     # ---------------------------------------------------------------- VO
     def use_vo(self) -> bool:
