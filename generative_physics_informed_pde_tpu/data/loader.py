@@ -16,6 +16,7 @@ TPU-native re-implementation of ``DataLoader`` / ``DataSet``
 from __future__ import annotations
 
 import hashlib
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -124,7 +125,16 @@ class DataLoader:
             if pad:
                 a = np.concatenate([a, np.ones((pad,) + a.shape[1:])])
                 v = np.concatenate([v, np.zeros((pad,) + v.shape[1:])])
-            out = np.asarray(solve(jnp.asarray(a), jnp.asarray(v)))
+            # tunneled TPU workers occasionally crash-restart mid-batch;
+            # the dispatch is idempotent, so retry with backoff
+            for attempt in range(3):
+                try:
+                    out = np.asarray(solve(jnp.asarray(a), jnp.asarray(v)))
+                    break
+                except jax.errors.JaxRuntimeError:
+                    if attempt == 2:
+                        raise
+                    time.sleep(30.0 * (attempt + 1))
             Y[sl] = out[: sl.stop - sl.start]
         self._Y = Y
         self._F_ROM_BC = self._BCE.full_f_with_applied_bc("rom")

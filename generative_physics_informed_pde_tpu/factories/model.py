@@ -50,9 +50,17 @@ class ModelFactory:
             "droprate": 0.0,
             "homoscedastic": False,
             "use_encoder": True,
+            # conv compute dtype for the DenseNet codec (None = full
+            # precision, 'bfloat16' = mixed precision); params and
+            # BatchNorm stats stay f32 either way.
+            "compute_dtype": None,
         }
         self._identifier = None
         self._custom_params_set_flag = False
+
+    def _compute_dtype(self):
+        cd = self.params.get("compute_dtype")
+        return None if cd is None else fetch_dtype(cd)
 
     @classmethod
     def FromIdentifier(cls, identifier: str, *args, **kwargs) -> "ModelFactory":
@@ -148,10 +156,12 @@ class highres(ModelFactory):
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=1, init_features=6,
             blocks=(1, 2, 1), growth_rate=4, drop_rate=self.params["droprate"],
-            upsample="nearest", binary=self.params["binary_field"])
+            upsample="nearest", binary=self.params["binary_field"],
+            compute_dtype=self._compute_dtype())
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 2, 1),
-            growth_rate=4, init_features=6, drop_rate=self.params["droprate"])
+            growth_rate=4, init_features=6, drop_rate=self.params["droprate"],
+            compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None
         return self._closure(physics, encoder, decoder)
@@ -179,10 +189,12 @@ class highres32(ModelFactory):
             latent_img_size=8, latent_img_features=1, init_features=4,
             blocks=(1, 1), growth_rate=4, drop_rate=self.params["droprate"],
             upsample="nearest", binary=self.params["binary_field"],
-            homoscedastic=self.params["homoscedastic"])
+            homoscedastic=self.params["homoscedastic"],
+            compute_dtype=self._compute_dtype())
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 1),
-            growth_rate=4, init_features=4, drop_rate=self.params["droprate"])
+            growth_rate=4, init_features=4, drop_rate=self.params["droprate"],
+            compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None
         return self._closure(physics, encoder, decoder)
@@ -215,12 +227,14 @@ class highres128(ModelFactory):
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=2, init_features=16,
             blocks=dec_blocks, growth_rate=8,
-            drop_rate=self.params["droprate"], upsample="nearest")
+            drop_rate=self.params["droprate"], upsample="nearest",
+            compute_dtype=self._compute_dtype())
         enc_blocks = tuple([1, 2, 1, 1, 1][: max(2, n_up - 1)])
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"),
             blocks=enc_blocks, growth_rate=8, init_features=16,
-            drop_rate=self.params["droprate"])
+            drop_rate=self.params["droprate"],
+            compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None
         return self._closure(physics, encoder, decoder)

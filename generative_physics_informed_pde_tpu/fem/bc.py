@@ -187,9 +187,15 @@ class BoundaryConditionEnsemble:
         return self.profile(identifier).free_dofs
 
     def constrained_values(self, identifier: str) -> np.ndarray:
-        """(N, n_constrained) float64."""
+        """(N, n_constrained) float64.
+
+        Pure host-side numpy: data assembly must not depend on (or wake)
+        the accelerator — this is called from the loader before any
+        device work, and a tiny device round-trip here is pure latency.
+        """
         p = self.profile(identifier)
-        return np.asarray(p.constrained_values(self.thetas))
+        basis = np.asarray(p._profile_basis, dtype=np.float64)
+        return np.asarray(self.thetas, dtype=np.float64) @ basis.T
 
     def full_f_with_applied_bc(self, identifier: str) -> np.ndarray:
         """(N, ndof): zero Neumann force with Dirichlet values inserted at

@@ -17,7 +17,7 @@ comparable.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -48,15 +48,17 @@ class NormReluConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     drop_rate: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        # stats reduce in f32 inside flax even when dtype is bf16
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
         if self.drop_rate > 0:
             # channel dropout (torch Dropout2d semantics)
             x = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
@@ -72,16 +74,19 @@ class DenseLayer(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         in_features = x.shape[-1]
         if self.bottleneck and in_features > self.bn_size * self.growth_rate:
-            y = NormReluConv(self.bn_size * self.growth_rate, kernel=1)(
-                x, train=train)
-            y = NormReluConv(self.growth_rate, kernel=3)(y, train=train)
+            y = NormReluConv(self.bn_size * self.growth_rate, kernel=1,
+                             dtype=self.dtype)(x, train=train)
+            y = NormReluConv(self.growth_rate, kernel=3, dtype=self.dtype)(
+                y, train=train)
         else:
-            y = NormReluConv(self.growth_rate, kernel=3)(x, train=train)
+            y = NormReluConv(self.growth_rate, kernel=3, dtype=self.dtype)(
+                x, train=train)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
                            deterministic=not train)(y)
@@ -96,12 +101,13 @@ class DenseBlock(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for _ in range(self.num_layers):
             x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck)(x, train=train)
+                           self.bottleneck, dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -115,17 +121,21 @@ class TransitionDown(nn.Module):
     out_features: int
     drop_rate: float = 0.0
     bottleneck: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         if self.bottleneck:
             x = NormReluConv(self.out_features, kernel=1,
-                             drop_rate=self.drop_rate)(x, train=train)
+                             drop_rate=self.drop_rate, dtype=self.dtype)(
+                x, train=train)
             x = NormReluConv(self.out_features, kernel=3, stride=2,
-                             drop_rate=self.drop_rate)(x, train=train)
+                             drop_rate=self.drop_rate, dtype=self.dtype)(
+                x, train=train)
         else:
             x = NormReluConv(self.out_features, kernel=3, stride=2,
-                             drop_rate=self.drop_rate)(x, train=train)
+                             drop_rate=self.drop_rate, dtype=self.dtype)(
+                x, train=train)
         return x
 
 
@@ -136,16 +146,19 @@ class TransitionUp(nn.Module):
     out_features: int
     drop_rate: float = 0.0
     upsample: str = "nearest"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = NormReluConv(self.out_features, kernel=1,
-                         drop_rate=self.drop_rate)(x, train=train)
+                         drop_rate=self.drop_rate, dtype=self.dtype)(
+            x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = _UPSAMPLE[self.upsample](x)
-        x = nn.Conv(self.out_features, (3, 3), padding="SAME", use_bias=False)(x)
+        x = nn.Conv(self.out_features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
                            deterministic=not train)(x)
@@ -161,22 +174,24 @@ class LastDecoding(nn.Module):
     drop_rate: float = 0.0
     upsample: str = "nearest"
     bias: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         f = x.shape[-1]
-        x = NormReluConv(f // 2, kernel=3, drop_rate=self.drop_rate)(
-            x, train=train)
+        x = NormReluConv(f // 2, kernel=3, drop_rate=self.drop_rate,
+                         dtype=self.dtype)(x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = _UPSAMPLE[self.upsample](x)
-        x = nn.Conv(f // 4, (3, 3), padding="SAME", use_bias=self.bias)(x)
+        x = nn.Conv(f // 4, (3, 3), padding="SAME", use_bias=self.bias,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (5, 5), padding="SAME",
-                    use_bias=self.bias)(x)
+                    use_bias=self.bias, dtype=self.dtype)(x)
         return x
 
 
@@ -194,6 +209,7 @@ class DenseED(nn.Module):
     bottleneck: bool = False
     upsample: str = "nearest"
     out_activation: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -203,25 +219,34 @@ class DenseED(nn.Module):
         enc = blocks[: len(blocks) // 2]
         dec = blocks[len(blocks) // 2:]
 
+        # mixed precision (dtype=bf16): params and BatchNorm statistics
+        # stay f32, conv compute feeds the MXU at 2x f32 rate; the output
+        # is cast back to the input dtype for the likelihoods.  dtype=None
+        # is flax default promotion (full precision, incl. x64).
+        in_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
-                    padding="SAME", use_bias=False)(x)
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
         nf = self.init_features
         for nl in enc:
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck)(x, train=train)
+                           self.bottleneck, dtype=self.dtype)(x, train=train)
             nf += nl * self.growth_rate
-            x = TransitionDown(nf // 2, self.drop_rate)(x, train=train)
+            x = TransitionDown(nf // 2, self.drop_rate, dtype=self.dtype)(
+                x, train=train)
             nf //= 2
         for i, nl in enumerate(dec):
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck)(x, train=train)
+                           self.bottleneck, dtype=self.dtype)(x, train=train)
             nf += nl * self.growth_rate
             if i < len(dec) - 1:
-                x = TransitionUp(nf // 2, self.drop_rate, self.upsample)(
-                    x, train=train)
+                x = TransitionUp(nf // 2, self.drop_rate, self.upsample,
+                                 dtype=self.dtype)(x, train=train)
                 nf //= 2
-        x = LastDecoding(self.out_channels, self.drop_rate, self.upsample)(
-            x, train=train)
+        x = LastDecoding(self.out_channels, self.drop_rate, self.upsample,
+                         dtype=self.dtype)(x, train=train)
+        x = x.astype(in_dtype)
         if self.out_activation is not None:
             x = _ACTIVATIONS[self.out_activation](x)
         return x

@@ -9,7 +9,7 @@ mirroring Decoder.py:288-305.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -39,6 +39,9 @@ class CNNDecoder(nn.Module):
     binary: bool = False
     homoscedastic: bool = False
     force_single_output: bool = False
+    # conv compute dtype (None = flax default promotion); params/BN stats
+    # stay f32, output cast back to the input dtype
+    compute_dtype: Optional[Any] = None
 
     def setup(self):
         out_img = self.latent_img_size * 2 ** len(self.blocks)
@@ -56,21 +59,26 @@ class CNNDecoder(nn.Module):
     def __call__(self, z, *, train: bool = True, flatten: bool = False):
         b = z.shape[0]
         s = self.latent_img_size
+        dt = self.compute_dtype
         x = nn.Dense(s * s * self.latent_img_features)(z)  # latent_map
+        in_dtype = x.dtype
         x = x.reshape(b, s, s, self.latent_img_features)
+        if dt is not None:
+            x = x.astype(dt)
         x = nn.Conv(self.init_features, (3, 3), padding="SAME",
-                    use_bias=False)(x)
+                    use_bias=False, dtype=dt)(x)
         nf = self.init_features
         for i, nl in enumerate(self.blocks):
-            x = DenseBlock(nl, self.growth_rate, self.drop_rate)(
+            x = DenseBlock(nl, self.growth_rate, self.drop_rate, dtype=dt)(
                 x, train=train)
             nf += nl * self.growth_rate
             if i < len(self.blocks) - 1:
-                x = TransitionUp(nf // 2, self.drop_rate, self.upsample)(
-                    x, train=train)
+                x = TransitionUp(nf // 2, self.drop_rate, self.upsample,
+                                 dtype=dt)(x, train=train)
                 nf //= 2
-        x = LastDecoding(self.out_channels, self.drop_rate, self.upsample)(
-            x, train=train)
+        x = LastDecoding(self.out_channels, self.drop_rate, self.upsample,
+                         dtype=dt)(x, train=train)
+        x = x.astype(in_dtype)
 
         if self.binary:
             out = nn.sigmoid(x[..., 0])

@@ -8,7 +8,7 @@ and ``NeuralNetworkEncoder`` (:79-129).  Input images are (batch, py, px)
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -44,20 +44,29 @@ class CNNEncoder(nn.Module):
     init_features: int = 32
     drop_rate: float = 0.0
     deterministic_head: bool = False  # reference 'makedeterministic'
+    # conv compute dtype (None = flax default promotion); params/BN stats
+    # stay f32, head runs at input precision
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
+        dt = self.compute_dtype
+        in_dtype = x.dtype
         if x.ndim == 3:
             x = x[..., None]  # (b, h, w) -> NHWC
+        if dt is not None:
+            x = x.astype(dt)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
-                    padding="SAME", use_bias=False)(x)
+                    padding="SAME", use_bias=False, dtype=dt)(x)
         nf = self.init_features
         for nl in self.blocks:
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, bn_size=8,
-                           bottleneck=True)(x, train=train)
+                           bottleneck=True, dtype=dt)(x, train=train)
             nf += nl * self.growth_rate
-            x = TransitionDown(nf // 2, self.drop_rate)(x, train=train)
+            x = TransitionDown(nf // 2, self.drop_rate, dtype=dt)(
+                x, train=train)
             nf //= 2
+        x = x.astype(in_dtype)
         imsize_new = self.imsize // (2 ** (len(self.blocks) + 1))
         assert x.shape[-2] == imsize_new and x.shape[-3] == imsize_new, \
             f"encoder trunk produced {x.shape}, expected {imsize_new}^2"

@@ -48,6 +48,10 @@ def make_schedule(spec: Optional[dict], lr_init: float,
     """Build a schedule from a reference-style spec dict:
     {'milestones': [...], 'factor': f} | {'step_size': n, 'factor': f} |
     None (constant)."""
+    if lr_init is None:
+        raise ValueError(
+            "learning rate is unset (params.trainer['lr_init'] is None); "
+            "set it before building the trainer")
     if not spec:
         return constant_lr(lr_init)
     if "milestones" in spec:

@@ -214,3 +214,31 @@ def test_elbo_multi_mc_samples(physics):
     e1, _, _ = model1.elbo(params, bs, data, jax.random.PRNGKey(1))
     e4, _, _ = model4.elbo(params, bs, data, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(e1), float(e4), rtol=1e-5)
+
+
+def test_codec_bfloat16_compute_dtype():
+    """compute_dtype='bfloat16': params and outputs stay f32, values track
+    the f32 path to bf16 precision (mixed-precision MXU path)."""
+    from generative_physics_informed_pde_tpu.factories.model import ModelFactory
+
+    outs = {}
+    for cd in (None, "bfloat16"):
+        f = ModelFactory.FromIdentifier("highres32", compute_dtype=cd)
+        _, model, _, encoder, _ = f.setup()
+        z = jax.random.normal(jax.random.PRNGKey(0), (4, 16),
+                              dtype=jnp.float32)
+        variables = model.f.init(jax.random.PRNGKey(1), z, train=False)
+        mean, logsigma = model.f.apply(variables, z, train=False)
+        # outputs keep the input dtype regardless of compute dtype
+        assert mean.dtype == jnp.float32 and logsigma.dtype == jnp.float32
+        assert all(a.dtype == jnp.float32 for a in
+                   jax.tree_util.tree_leaves(variables["params"]))
+        outs[cd] = np.asarray(mean, np.float32)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32),
+                              dtype=jnp.float32)
+        ev = encoder.init(jax.random.PRNGKey(3), x, train=False)
+        m_enc, _ = encoder.apply(ev, x, train=False)
+        assert m_enc.dtype == jnp.float32
+        assert bool(jnp.isfinite(m_enc).all())
+    scale = np.abs(outs[None]).max()
+    assert np.abs(outs[None] - outs["bfloat16"]).max() < 0.05 * scale

@@ -145,6 +145,8 @@ def test_schedules():
     np.testing.assert_allclose(float(sched2(10)), 0.1, rtol=1e-6)
     sched3 = make_schedule(None, 3.0)
     assert float(sched3(1000)) == 3.0
+    with pytest.raises(ValueError, match="lr_init"):
+        make_schedule({"milestones": [10], "factor": 0.5}, None)
 
     pc = PlateauController(patience=2, factor=0.1, min_lr=1e-3, lr_init=1.0)
     for _ in range(2):
