@@ -179,3 +179,30 @@ def test_trainer_zero_unsupervised(small_loaders):
     tr.run(3, verbose=False)
     assert np.isfinite(tr._monitor["elbo"][-1] if tr._monitor["elbo"]
                        else 0.0)
+
+
+def test_assemble_retries_transient_runtime_errors(monkeypatch, _raw_fields):
+    """Label solves retry when the (tunneled) runtime throws a transient
+    JaxRuntimeError, and the labels still come out correct."""
+    import generative_physics_informed_pde_tpu.data.loader as loader_mod
+
+    X, _ = _raw_fields
+    dl = DataLoader(X[:6].copy())
+    physics = fem.make_fom_rom_pair("NDP", 4, 4, 3)
+    fom = physics["fom"]
+    real_solve = fom.solve_batched
+    calls = {"n": 0}
+
+    def flaky(alpha, vals):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("TPU worker restarted (fake)")
+        return real_solve(alpha, vals)
+
+    monkeypatch.setitem(fom.__dict__, "solve_batched", flaky)
+    monkeypatch.setattr(loader_mod.time, "sleep", lambda s: None)
+    dl.assemble(physics, rng=np.random.default_rng(0))
+    assert calls["n"] >= 2  # first dispatch failed, retry succeeded
+    vals = dl.BCE.constrained_values("fom")
+    y0 = fom.solve_direct(np.exp(np.asarray(dl.X_DG[0])), vals[0])
+    np.testing.assert_allclose(dl.Y[0], y0, rtol=1e-6, atol=1e-8)
