@@ -556,11 +556,17 @@ class Trainer:
 
             if mi > 0 and n_last % mi == 0 and n_last > 0:
                 if self._plateau is not None:
+                    # rebuild the opt state functionally: the state pytree
+                    # is donated to the jitted step, so in-place mutation
+                    # of .hyperparams would alias donated buffers
                     scale = self._plateau.step(float(last_elbo))
-                    hp = self.state.opt_state.hyperparams
+                    hp = dict(self.state.opt_state.hyperparams)
                     hp["learning_rate"] = jnp.asarray(
                         self._plateau.lr_init * scale,
                         dtype=hp["learning_rate"].dtype)
+                    self.state = self.state.replace(
+                        opt_state=self.state.opt_state._replace(
+                            hyperparams=hp))
                 self._record(n_last, logs)
                 if verbose:
                     print(f"Step: {n_last} / {N} || "

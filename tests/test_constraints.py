@@ -172,16 +172,27 @@ def test_precision_learning_formula(setup):
     vo.update(G, PREC, 0)   # first call initialises, no precision change
     v0 = np.asarray(vo.vo_variances).copy()
     np.testing.assert_allclose(v0, 1.0 / (vo._prec_alpha + 1.0))
+    # the second update computes beta from the PREVIOUS conditioned state
+    # (reference: VirtualObservables.py:971-998) -- capture it now
+    mean_prev = np.asarray(vo.mean).copy()
+    vars_prev = np.asarray(vo.vars).copy()
     vo.update(G, PREC, 1)   # now the Gamma-hyperprior kicks in
-    # manual beta
+    # manual beta_j = 0.5 sum_n [(Gamma_n mu_n - alpha_n)_j^2
+    #                            + (Gamma_n^2 vars_n)_j] + BETA_0
     beta = np.zeros(vo.m)
     for n in range(qpe.N):
         Gm = np.asarray(vo.Gamma[n])
-        r = Gm @ np.asarray(vo.mean[n]) - np.asarray(vo.alpha[n])
-        beta += r ** 2 + (Gm ** 2) @ np.asarray(vo.vars[n])
-    # note: manual uses POST-update mean/vars; reproduce with stored state
+        r = Gm @ mean_prev[n] - np.asarray(vo.alpha[n])
+        beta += 0.5 * (r ** 2 + (Gm ** 2) @ vars_prev[n])
+    beta += vo.BETA_0
+    np.testing.assert_allclose(np.asarray(vo._prec_beta), beta,
+                               rtol=1e-10, atol=1e-12)
+    mask = np.asarray(vo.infinite_precision_mask)
+    expect_vars = np.where(mask, 0.0, beta / (vo._prec_alpha + 1.0))
+    np.testing.assert_allclose(np.asarray(vo.vo_variances), expect_vars,
+                               rtol=1e-10, atol=1e-12)
     assert vo.vo_variances.shape == (vo.m,)
-    assert float(jnp.min(vo.vo_variances)) > 0
+    assert float(jnp.min(vo.vo_variances)) >= 0
 
 
 def test_energy_vo_converges_to_minimizer(setup):
