@@ -94,6 +94,13 @@ def assembly_tensor(grid: StructuredTriGrid, max_cells: int = 4096) -> np.ndarra
 # Node-grid offsets reachable on the right-diagonal triangulation.
 _OFFSETS = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1))
 
+# The stiffness matrix is symmetric, so only the diagonal and the three
+# "positive" directions are independent: coefs[-dir][y, x] ==
+# coefs[+dir][y - dy, x - dx].  The symmetric form stores 4 grids instead
+# of 7 -- on the TPU the stencil apply is HBM-bandwidth-bound, so this is
+# a direct ~1.5x traffic cut (measured roofline: results/stencil_roofline.py).
+_SYM_DIRS = ((1, 0), (0, 1), (1, 1))
+
 
 def _stencil_table(grid: StructuredTriGrid):
     """For each stencil offset ``o`` the list of contributions
@@ -168,6 +175,27 @@ class StencilOperator:
                 x0 = 1 - dxa
                 sl = ap[..., y0:y0 + ny1, x0:x0 + nx1, t]
                 c = c + w * sl
+            coefs.append(c)
+        return jnp.stack(coefs, axis=-3)
+
+    def coefficients_sym(self, alpha: jnp.ndarray) -> jnp.ndarray:
+        """(..., n_cells) -> (..., 4, ny+1, nx+1): the symmetric stencil
+        form ``[diag, c_N, c_E, c_D]`` with ``c_dir[y, x] = K[(y,x),
+        (y,x)+dir]`` for dir in (1,0), (0,1), (1,1).  Stores 4 grids
+        instead of 7 (K is symmetric); the apply reads ~2/3 the bytes."""
+        g = self.grid
+        a = self.alpha_to_cellgrid(alpha)
+        batch = a.shape[:-3]
+        pad = [(0, 0)] * len(batch) + [(1, 1), (1, 1), (0, 0)]
+        ap = jnp.pad(a, pad)
+        ny1, nx1 = g.ny + 1, g.nx + 1
+        coefs = []
+        for o in ((0, 0),) + _SYM_DIRS:
+            c = jnp.zeros(batch + (ny1, nx1), dtype=alpha.dtype)
+            for (t, dya, dxa, w) in self._table[o]:
+                y0 = 1 - dya
+                x0 = 1 - dxa
+                c = c + w * ap[..., y0:y0 + ny1, x0:x0 + nx1, t]
             coefs.append(c)
         return jnp.stack(coefs, axis=-3)
 

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .assembly import StencilOperator, _OFFSETS
+from .assembly import StencilOperator, _OFFSETS, _SYM_DIRS
 
 
 def _apply_stencil_blast(coefs, v):
@@ -31,6 +31,23 @@ def _apply_stencil_blast(coefs, v):
     return out
 
 
+def _apply_stencil_sym_blast(coefs4, v):
+    """Symmetric-form apply: coefs4 (4, Ny, Nx, B) = [diag, c_N, c_E, c_D],
+    v (Ny, Nx, B) -> (Ny, Nx, B).  Each off-diagonal grid is used for both
+    the +dir and (shifted) -dir coupling -- 4 coefficient reads instead of
+    7 on the HBM-bandwidth-bound hot path."""
+    Ny, Nx = v.shape[0], v.shape[1]
+    vp = jnp.pad(v, ((1, 1), (1, 1), (0, 0)))
+    out = coefs4[0] * v
+    for k, (oy, ox) in enumerate(_SYM_DIRS):
+        c = coefs4[1 + k]
+        cp = jnp.pad(c, ((1, 1), (1, 1), (0, 0)))
+        out = out + c * vp[1 + oy:1 + oy + Ny, 1 + ox:1 + ox + Nx, :]
+        out = out + (cp[1 - oy:1 - oy + Ny, 1 - ox:1 - ox + Nx, :]
+                     * vp[1 - oy:1 - oy + Ny, 1 - ox:1 - ox + Nx, :])
+    return out
+
+
 def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
     """PCG with per-sample scalars; arrays (Ny, Nx, B); ``matvec`` the
     masked SPD operator, ``precond`` a linear SPD map r -> z (Jacobi diag
@@ -39,13 +56,22 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))  # (B,)
 
+    def pre(r):
+        # Fence the preconditioner off from the CG body ops: letting XLA
+        # fuse a multigrid V-cycle into the CG axpy/reduction kernel
+        # produces a fused kernel that faults the TPU runtime at 256^2
+        # for batches > 8 (v5e, observed 2026-08-16; repro in
+        # results/mg_repro.py -- pcg_pre faults, pcg_barrier passes).
+        return jax.lax.optimization_barrier(
+            precond(jax.lax.optimization_barrier(r)))
+
     b = mask * b
     bnorm2 = dot(b, b)
     atol2 = (tol ** 2) * bnorm2
 
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = precond(r0)
+    z0 = pre(r0)
     gamma0 = dot(r0, z0)
 
     def cond(state):
@@ -60,7 +86,7 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
         alpha = gamma / jnp.where(denom == 0, 1.0, denom)
         x = x + alpha[None, None, :] * p
         r = r - alpha[None, None, :] * Ap
-        z = precond(r)
+        z = pre(r)
         gamma_new = dot(r, z)
         beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
         p = z + beta[None, None, :] * p
@@ -86,11 +112,13 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     Ny, Nx = grid.ny + 1, grid.nx + 1
     if precond == "auto":
         # multigrid pays off from ~128^2 upward; below that Jacobi is
-        # competitive and compiles much faster.  At 256^2 the V-cycle
-        # triggers a TPU-runtime kernel fault for batches > ~8 (observed
-        # on v5e), so auto only selects mg at exactly 128^2; larger grids
-        # can opt in explicitly with precond='mg' at small batch.
-        mg_ok = (grid.nx == grid.ny and grid.nx == 128)
+        # competitive and compiles much faster.  (A v5e runtime fault at
+        # 256^2 batch>8 was traced to XLA fusing the V-cycle into the CG
+        # body kernel; _batched_pcg now fences the preconditioner with
+        # optimization_barrier, so mg is safe at 256^2 -- see
+        # results/mg_repro.py.)
+        mg_ok = (grid.nx == grid.ny and grid.nx >= 128
+                 and (grid.nx & (grid.nx - 1)) == 0)
         precond = "mg" if mg_ok else "jacobi"
     mg = None
     if precond == "mg":

@@ -139,13 +139,21 @@ class MultigridPreconditioner:
         return levels
 
     def apply(self, levels, r: jnp.ndarray) -> jnp.ndarray:
-        """One symmetric V-cycle: r (Ny, Nx, B) -> z ~ A^{-1} r."""
+        """One symmetric V-cycle: r (Ny, Nx, B) -> z ~ A^{-1} r.
+
+        Every level transition is fenced with ``optimization_barrier``:
+        when the V-cycle is compiled inside a CG ``while_loop`` body, XLA
+        otherwise fuses smoother+transfer chains into kernels that fault
+        the v5e runtime at 256^2 for batches >~16 (results/mg_repro.py).
+        The fences bound each fused kernel to one smoother sweep.
+        """
         omega = self.omega
+        fence = jax.lax.optimization_barrier
 
         def smooth(coefs, inv_diag, mask, z, r, nu):
             for _ in range(nu):
                 Az = mask * _apply_stencil_blast(coefs, z)
-                z = z + omega * inv_diag * (r - Az)
+                z = fence(z + omega * inv_diag * (r - Az))
             return z
 
         def vcycle(li, r):
@@ -157,9 +165,9 @@ class MultigridPreconditioner:
                        self.nu_pre)
             resid = mask * (r - mask * _apply_stencil_blast(coefs, z))
             coarse_mask = levels[li + 1][2]
-            rc = coarse_mask * _restrict(resid)
+            rc = fence(coarse_mask * _restrict(resid))
             ec = vcycle(li + 1, rc)
-            z = z + mask * _prolong(ec)
+            z = fence(z + mask * _prolong(ec))
             return smooth(coefs, inv_diag, mask, z, r, self.nu_post)
 
         return vcycle(0, r)
