@@ -98,7 +98,7 @@ _OFFSETS = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, -1))
 # "positive" directions are independent: coefs[-dir][y, x] ==
 # coefs[+dir][y - dy, x - dx].  The symmetric form stores 4 grids instead
 # of 7 -- on the TPU the stencil apply is HBM-bandwidth-bound, so this is
-# a direct ~1.5x traffic cut (measured roofline: results/stencil_roofline.py).
+# a direct ~1.5x traffic cut (measured roofline: benchmarks/stencil_roofline.py).
 _SYM_DIRS = ((1, 0), (0, 1), (1, 1))
 
 

@@ -61,7 +61,7 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
         # fuse a multigrid V-cycle into the CG axpy/reduction kernel
         # produces a fused kernel that faults the TPU runtime at 256^2
         # for batches > 8 (v5e, observed 2026-08-16; repro in
-        # results/mg_repro.py -- pcg_pre faults, pcg_barrier passes).
+        # benchmarks/mg_repro.py -- pcg_pre faults, pcg_barrier passes).
         return jax.lax.optimization_barrier(
             precond(jax.lax.optimization_barrier(r)))
 
@@ -116,7 +116,7 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         # 256^2 batch>8 was traced to XLA fusing the V-cycle into the CG
         # body kernel; _batched_pcg now fences the preconditioner with
         # optimization_barrier, so mg is safe at 256^2 -- see
-        # results/mg_repro.py.)
+        # benchmarks/mg_repro.py.)
         mg_ok = (grid.nx == grid.ny and grid.nx >= 128
                  and (grid.nx & (grid.nx - 1)) == 0)
         precond = "mg" if mg_ok else "jacobi"

@@ -144,7 +144,7 @@ class MultigridPreconditioner:
         Every level transition is fenced with ``optimization_barrier``:
         when the V-cycle is compiled inside a CG ``while_loop`` body, XLA
         otherwise fuses smoother+transfer chains into kernels that fault
-        the v5e runtime at 256^2 for batches >~16 (results/mg_repro.py).
+        the v5e runtime at 256^2 for batches >~16 (benchmarks/mg_repro.py).
         The fences bound each fused kernel to one smoother sweep.
         """
         omega = self.omega

@@ -125,6 +125,43 @@ def test_trainer_with_virtual_observables(small_loaders):
     assert np.isfinite(res["logscore_y"])
 
 
+def test_trainer_energy_vo_end_to_end(small_loaders):
+    """Train >=200 iterations with energy-VOs and an annealing temperature
+    schedule: the ELBO must improve and the VO means must approach the
+    true PDE solutions of the unlabeled fields (reference:
+    VirtualObservables.py:672-793 + the 1001-1091 schedule-driven
+    ensemble, exercised end-to-end through Trainer.run)."""
+    dl, dlu = small_loaders
+    n_steps = 220
+    params = _params(N_vo=6, N_vo_max=6, N_s=8, N_s_max=8,
+                     vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 24,
+                              "energy_num_iterations_per_update": 8,
+                              "T_init": 1.0, "T_final": 1e-6,
+                              "T_iterations": n_steps + 1})
+    params.trainer["N_vo_holdoff"] = 3
+    params.trainer["N_vo_update_interval"] = 5
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr.use_vo()
+    tr.run(n_steps, verbose=False)
+    assert tr._vo_is_initialized
+    assert tr.VO.temperature < 1e-4  # schedule actually annealed
+    elbos = tr._monitor["elbo"]
+    assert len(elbos) >= 2 and elbos[-1] > elbos[0]
+    # at low temperature the energy minimizer is the true solution K^-1 f:
+    # the VO means must be close to direct solves of the vo fields
+    fom = tr.physics["fom"]
+    ds_vo = tr.datasets["vo"]
+    X_DG = np.asarray(ds_vo.get("X_DG"))
+    vals = np.asarray(ds_vo.get("BCE").constrained_values("fom"))
+    Y_true = np.stack([fom.solve_direct(np.exp(x), v)
+                       for x, v in zip(X_DG, vals)])
+    rel = (np.linalg.norm(np.asarray(tr.VO.mean) - Y_true, axis=1)
+           / np.linalg.norm(Y_true, axis=1))
+    assert np.all(np.isfinite(rel)) and rel.mean() < 0.30, rel
+
+
 def test_trainer_nonamortized_unsupervised(small_loaders):
     dl, dlu = small_loaders
     params = _params(armortized_bs=None)
