@@ -97,6 +97,12 @@ class MultigridPreconditioner:
     nu_post: int = 2
     nu_coarse: int = 24
     omega: float = 0.8
+    # Preconditioner-internal dtype.  The V-cycle only preconditions CG --
+    # its rounding perturbs the (fixed, SPD) preconditioning operator, not
+    # the solution -- so bfloat16 halves the smoother HBM traffic (the
+    # dominant cost at 128^2+) at identical final accuracy.  Measured on
+    # v5e: see PARITY.md (multigrid section).
+    dtype: str = "float32"
 
     @classmethod
     def for_grid(cls, grid: StructuredTriGrid, min_size: int = 4, **kw):
@@ -119,9 +125,10 @@ class MultigridPreconditioner:
 
     def setup(self, alphas: jnp.ndarray):
         """alphas (B, n_cells) -> per-level (coefs, inv_diag, mask) with
-        coefs in (7, Ny, Nx, B) batch-last layout."""
+        coefs in (7, Ny, Nx, B) batch-last layout, cast to ``self.dtype``."""
         statics = self._level_static()
         B = alphas.shape[0]
+        dt = jnp.dtype(self.dtype)
         op0 = statics[0][0]
         a = op0.alpha_to_cellgrid(alphas)           # (B, ny, nx, 2)
         a = jnp.moveaxis(a, 0, -1)                  # (ny, nx, 2, B)
@@ -133,7 +140,8 @@ class MultigridPreconditioner:
             mask = jnp.asarray(mask_np, dtype=alphas.dtype)
             diag = coefs[0]
             inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
-            levels.append((coefs, inv_diag, mask))
+            levels.append((coefs.astype(dt), inv_diag.astype(dt),
+                           mask.astype(dt)))
             if (op.grid.nx // 2, op.grid.ny // 2) != (0, 0):
                 a = _coarsen_alpha_cellgrid(a)
         return levels
@@ -146,7 +154,12 @@ class MultigridPreconditioner:
         otherwise fuses smoother+transfer chains into kernels that fault
         the v5e runtime at 256^2 for batches >~16 (benchmarks/mg_repro.py).
         The fences bound each fused kernel to one smoother sweep.
+
+        Internal arithmetic runs in ``self.dtype`` (bfloat16 halves the
+        smoother HBM traffic); the result is returned in r.dtype.
         """
+        out_dtype = r.dtype
+        r = r.astype(jnp.dtype(self.dtype))
         omega = self.omega
         fence = jax.lax.optimization_barrier
 
@@ -170,4 +183,4 @@ class MultigridPreconditioner:
             z = fence(z + mask * _prolong(ec))
             return smooth(coefs, inv_diag, mask, z, r, self.nu_post)
 
-        return vcycle(0, r)
+        return vcycle(0, r).astype(out_dtype)

@@ -328,9 +328,11 @@ def _make_sym_blocked_kernel(TY: int, nt: int, R: int, CP: int):
         def _():
             out_dma(slot, i - 2).wait()
 
-        v = vs[slot]
         c = cs[slot]
         t = i % nt
+        # pre-mask the tile so the operator is exactly mask*K*(mask*v) --
+        # same as the XLA-fused form (constrained dofs contribute nothing)
+        v = vs[slot] * mask_ref[pl.ds(t * TY, TY + 2)]
         m = mask_ref[pl.ds(1 + t * TY, TY)]
 
         def shift_x(a, s):
