@@ -4,11 +4,13 @@
 For a grid of correlation lengths, push thousands of conductivity
 realisations through batched full-order Darcy solves and extract a
 quantity of interest (the pressure at the domain centre), collecting
-moments into a ParameterStudy.  On a multi-chip mesh the batch axis is
-sharded over 'dp'; the reference did the analogue with a *sequential*
-futures pool (parallel/utils.py:50-74) and one FEniCS solve at a time.
+moments into a ParameterStudy.  The whole sweep runs as ONE SPMD program:
+cases are vmapped and (on a mesh) sharded over the 'dp' axis via
+``sweep_over_devices``.  The reference did the analogue with a
+*sequential* futures pool (parallel/utils.py:50-74 + utils/database.py:
+9-107) and one FEniCS solve at a time.
 
-Run:  python examples/uncertainty_study.py [batch_per_case]
+Run:  python examples/uncertainty_study.py [batch_per_case] [--mesh N]
 """
 
 from __future__ import annotations
@@ -22,43 +24,73 @@ import jax.numpy as jnp
 
 from generative_physics_informed_pde_tpu import fem
 from generative_physics_informed_pde_tpu.fem import QOI
+from generative_physics_informed_pde_tpu.parallel import (make_mesh,
+                                                          sweep_over_devices)
 from generative_physics_informed_pde_tpu.utils import ParameterStudy, StopWatch
 
+CORRLENGTHS = (0.04, 0.08, 0.16, 0.32)
 
-def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    n = 64
-    phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(n, n))
+
+def qoi_sweep(phys, corrlengths, B, mesh=None, n=64, seed=0):
+    """Sample ``B`` fields per correlation length and run the whole sweep
+    as one vmapped (and, with a mesh, dp-sharded) SPMD program.
+
+    Returns a dict of per-case QOI moments, each an array of
+    ``len(corrlengths)``.
+    """
     conv = fem.PixelConverter(phys.grid)
     qoi = QOI(phys.grid, mx=0.5, my=0.5)
     theta = jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (B, 1))
     bc_values = phys.profile.constrained_values(theta)
 
-    @jax.jit
-    def run_case(fields):
-        x_dg = conv.image_to_function(fields)
+    # per-case field sampling (host-side spectral filters differ per case)
+    fields = jnp.stack([
+        fem.GaussianRandomField.from_image(
+            n, n, mean=0.4, stddev=0.8, corrlength=l, method="fft"
+        ).sample(jax.random.PRNGKey(seed + int(l * 1000)), batch_size=B,
+                 dtype=jnp.float32)
+        for l in corrlengths])                     # (C, B, n, n)
+
+    def case_fn(case):
+        x_dg = conv.image_to_function(case["fields"])
         Y = phys.solve_batched(jnp.exp(x_dg), bc_values)
         q = qoi.extract(Y, bc_values=bc_values, profile=phys.profile)
-        return q.mean(), q.std(), jnp.percentile(q, jnp.array([5.0, 95.0]))
+        pct = jnp.percentile(q, jnp.array([5.0, 95.0]))
+        return {"mean": q.mean(), "std": q.std(),
+                "p5": pct[0], "p95": pct[1]}
+
+    cases = {"fields": fields}
+    if mesh is not None:
+        return sweep_over_devices(case_fn, cases, mesh=mesh)
+    return jax.jit(jax.vmap(case_fn))(cases)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(args[0]) if args else 4096
+    n_mesh = None
+    if "--mesh" in sys.argv:
+        n_mesh = int(sys.argv[sys.argv.index("--mesh") + 1])
+    n = 64
+    phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(n, n))
+    mesh = make_mesh(n_mesh) if n_mesh else None
+
+    sw = StopWatch(start=True)
+    out = qoi_sweep(phys, CORRLENGTHS, B, mesh=mesh, n=n)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    dt = sw.stop()
 
     study = ParameterStudy([("corrlength_x100", int)])
-    sw = StopWatch(start=True)
-    total_solves = 0
-    for corrlength in (0.04, 0.08, 0.16, 0.32):
-        rf = fem.GaussianRandomField.from_image(
-            n, n, mean=0.4, stddev=0.8, corrlength=corrlength, method="fft")
-        fields = rf.sample(jax.random.PRNGKey(int(corrlength * 1000)),
-                           batch_size=B, dtype=jnp.float32)
-        mean, std, pct = run_case(fields)
-        study.accumulate((int(corrlength * 100),), {
-            "qoi_mean": float(mean), "qoi_std": float(std),
-            "qoi_p5": float(pct[0]), "qoi_p95": float(pct[1])})
-        total_solves += B
-        print(f"l={corrlength}: qoi = {float(mean):.4f} +- {float(std):.4f}"
-              f"  [{float(pct[0]):.4f}, {float(pct[1]):.4f}]", flush=True)
-    dt = sw.stop()
+    for i, l in enumerate(CORRLENGTHS):
+        study.accumulate((int(l * 100),), {
+            "qoi_mean": float(out["mean"][i]), "qoi_std": float(out["std"][i]),
+            "qoi_p5": float(out["p5"][i]), "qoi_p95": float(out["p95"][i])})
+        print(f"l={l}: qoi = {out['mean'][i]:.4f} +- {out['std'][i]:.4f}"
+              f"  [{out['p5'][i]:.4f}, {out['p95'][i]:.4f}]", flush=True)
+    total_solves = B * len(CORRLENGTHS)
     print(f"{total_solves} batched {n}^2 solves in {dt:.1f}s "
-          f"-> {total_solves / dt:.0f} solves/s")
+          f"-> {total_solves / dt:.0f} solves/s"
+          + (f" (mesh dp={n_mesh})" if n_mesh else ""))
     study.save("results_uncertainty_study.json")
     print("study saved to results_uncertainty_study.json")
 

@@ -37,6 +37,31 @@ def test_sweep_over_devices():
     np.testing.assert_allclose(np.asarray(out), expect)
 
 
+def test_uncertainty_sweep_sharded_matches_local():
+    """The config-5 QOI sweep (examples/uncertainty_study.py) runs as one
+    SPMD program with cases sharded over the mesh; sharded == unsharded."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "examples"))
+    import uncertainty_study as us
+
+    phys = fem.LinearEllipticPhysics("fom", "ND",
+                                     fem.StructuredTriGrid(16, 16))
+    lengths = (0.1, 0.2, 0.3, 0.4)
+    mesh = make_mesh(4)
+    sharded = us.qoi_sweep(phys, lengths, B=8, mesh=mesh, n=16)
+    local = us.qoi_sweep(phys, lengths, B=8, mesh=None, n=16)
+    assert sharded["mean"].shape == (4,)
+    assert len(sharded["mean"].sharding.device_set) == 4
+    for k in ("mean", "std", "p5", "p95"):
+        np.testing.assert_allclose(np.asarray(sharded[k]),
+                                   np.asarray(local[k]), rtol=1e-5,
+                                   atol=1e-6)
+        assert np.all(np.isfinite(np.asarray(sharded[k])))
+
+
 def _make_trainer(mesh=None, seed=0):
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 24, key=jax.random.PRNGKey(2))
