@@ -215,6 +215,12 @@ class GaussianRandomField:
         return out[0] if squeeze else out
 
     def _sample_fft(self, key, n, dtype):
+        if jax.default_backend() == "tpu":
+            # complex dtypes are unsupported on (some) TPU runtimes
+            # (observed 2026-08-16: broadcast of complex64 raises
+            # UNIMPLEMENTED via the axon tunnel) -- and the MXU prefers
+            # matmuls anyway: use the real-arithmetic DFT below.
+            return self._sample_fft_matmul(key, n, dtype)
         f = jnp.asarray(self._fft_factor)
         my, mx = f.shape
         kr, ki = jax.random.split(key)
@@ -226,6 +232,39 @@ class GaussianRandomField:
                1j * jax.random.normal(ki, (n, my, mx)))
         field = jnp.fft.fft2(eps * f).real
         field = field[:, : self.py, : self.px]
+        return (self.mean + field).astype(dtype)
+
+    @cached_property
+    def _dft_mats(self):
+        """Truncated real/imag 2-D DFT matrices (host-side, float64):
+        ``Cy (py, my), Sy, CxT (mx, px), SxT`` with
+        ``C[j, k] = cos(2 pi j k / m)``, ``S[j, k] = sin(2 pi j k / m)``."""
+        my, mx = self._fft_factor.shape
+        jy = np.arange(self.py)[:, None] * np.arange(my)[None, :]
+        jx = np.arange(mx)[:, None] * np.arange(self.px)[None, :]
+        ay = 2.0 * np.pi * jy / my
+        ax = 2.0 * np.pi * jx / mx
+        return (np.cos(ay), np.sin(ay), np.cos(ax), np.sin(ax))
+
+    def _sample_fft_matmul(self, key, n, dtype):
+        """Same math as ``_sample_fft`` in pure real arithmetic:
+        field = Re(fft2((a + i b) * f))
+              = Cy @ (u @ CxT + w @ SxT) + Sy @ (w @ CxT - u @ SxT),
+        u = a*f, w = b*f -- six batched MXU matmuls, no complex dtype.
+        """
+        f = jnp.asarray(self._fft_factor, dtype=jnp.float32)
+        my, mx = f.shape
+        kr, ki = jax.random.split(key)
+        a = jax.random.normal(kr, (n, my, mx), dtype=jnp.float32)
+        b = jax.random.normal(ki, (n, my, mx), dtype=jnp.float32)
+        u = a * f
+        w = b * f
+        Cy, Sy, CxT, SxT = (jnp.asarray(m, dtype=jnp.float32)
+                            for m in self._dft_mats)
+        P = u @ CxT + w @ SxT                      # (n, my, px)
+        Q = w @ CxT - u @ SxT
+        field = jnp.einsum("rj,njc->nrc", Cy, P) \
+            + jnp.einsum("rj,njc->nrc", Sy, Q)     # (n, py, px)
         return (self.mean + field).astype(dtype)
 
     def sample_numpy(self, rng: np.random.Generator,

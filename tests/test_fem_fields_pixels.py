@@ -75,6 +75,18 @@ def test_grf_fft_covariance():
     np.testing.assert_allclose(Xf.mean(), 0.2, atol=0.02)
 
 
+def test_grf_fft_matmul_paths_agree():
+    """The real-arithmetic MXU DFT path (used on TPU runtimes without
+    complex support) must reproduce the complex-fft circulant sampling
+    exactly (same PRNG key -> same fields)."""
+    rf = GaussianRandomField.from_image(32, 32, mean=0.4, stddev=0.8,
+                                        corrlength=0.08, method="fft")
+    key = jax.random.PRNGKey(7)
+    a = np.asarray(rf._sample_fft(key, 6, jnp.float32))
+    b = np.asarray(rf._sample_fft_matmul(key, 6, jnp.float32))
+    np.testing.assert_allclose(a, b, atol=5e-6)
+
+
 def test_convert_log_mean_std():
     mu, sigma = convert_log_mean_std(1.0, 0.5)
     # moments of the log-normal must reproduce mean/std
