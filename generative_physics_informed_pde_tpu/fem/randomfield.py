@@ -252,15 +252,16 @@ class GaussianRandomField:
               = Cy @ (u @ CxT + w @ SxT) + Sy @ (w @ CxT - u @ SxT),
         u = a*f, w = b*f -- six batched MXU matmuls, no complex dtype.
         """
-        f = jnp.asarray(self._fft_factor, dtype=jnp.float32)
+        # draw eps at the default float width (matches _sample_fft's draws
+        # for the same key, f64 under x64 / f32 on TPU)
+        f = jnp.asarray(self._fft_factor)
         my, mx = f.shape
         kr, ki = jax.random.split(key)
-        a = jax.random.normal(kr, (n, my, mx), dtype=jnp.float32)
-        b = jax.random.normal(ki, (n, my, mx), dtype=jnp.float32)
+        a = jax.random.normal(kr, (n, my, mx))
+        b = jax.random.normal(ki, (n, my, mx))
         u = a * f
         w = b * f
-        Cy, Sy, CxT, SxT = (jnp.asarray(m, dtype=jnp.float32)
-                            for m in self._dft_mats)
+        Cy, Sy, CxT, SxT = (jnp.asarray(m) for m in self._dft_mats)
         P = u @ CxT + w @ SxT                      # (n, my, px)
         Q = w @ CxT - u @ SxT
         field = jnp.einsum("rj,njc->nrc", Cy, P) \
