@@ -24,8 +24,7 @@ import jax.numpy as jnp
 
 from generative_physics_informed_pde_tpu import fem
 from generative_physics_informed_pde_tpu.fem import QOI
-from generative_physics_informed_pde_tpu.parallel import (make_mesh,
-                                                          sweep_over_devices)
+from generative_physics_informed_pde_tpu.parallel import make_mesh
 from generative_physics_informed_pde_tpu.utils import ParameterStudy, StopWatch
 
 CORRLENGTHS = (0.04, 0.08, 0.16, 0.32)
@@ -33,36 +32,46 @@ CORRLENGTHS = (0.04, 0.08, 0.16, 0.32)
 
 def qoi_sweep(phys, corrlengths, B, mesh=None, n=64, seed=0):
     """Sample ``B`` fields per correlation length and run the whole sweep
-    as one vmapped (and, with a mesh, dp-sharded) SPMD program.
+    as ONE flattened batched solve of C*B systems; per-case QOI moments
+    are reduced afterwards.  With a mesh the flattened solve batch is
+    sharded over 'dp' (better load balance than case-level sharding, and
+    C need not divide the device count; ``sweep_over_devices`` remains
+    the generic case-sharded runner for parameter studies).
 
     Returns a dict of per-case QOI moments, each an array of
     ``len(corrlengths)``.
     """
+    C = len(corrlengths)
     conv = fem.PixelConverter(phys.grid)
     qoi = QOI(phys.grid, mx=0.5, my=0.5)
-    theta = jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (B, 1))
+    theta = jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (C * B, 1))
     bc_values = phys.profile.constrained_values(theta)
 
     # per-case field sampling (host-side spectral filters differ per case)
-    fields = jnp.stack([
+    fields = jnp.concatenate([
         fem.GaussianRandomField.from_image(
             n, n, mean=0.4, stddev=0.8, corrlength=l, method="fft"
         ).sample(jax.random.PRNGKey(seed + int(l * 1000)), batch_size=B,
                  dtype=jnp.float32)
-        for l in corrlengths])                     # (C, B, n, n)
+        for l in corrlengths])                     # (C*B, n, n)
 
-    def case_fn(case):
-        x_dg = conv.image_to_function(case["fields"])
+    @jax.jit
+    def run(fields, bc_values):
+        x_dg = conv.image_to_function(fields)
         Y = phys.solve_batched(jnp.exp(x_dg), bc_values)
-        q = qoi.extract(Y, bc_values=bc_values, profile=phys.profile)
-        pct = jnp.percentile(q, jnp.array([5.0, 95.0]))
-        return {"mean": q.mean(), "std": q.std(),
+        q = qoi.extract(Y, bc_values=bc_values,
+                        profile=phys.profile).reshape(C, B)
+        pct = jnp.percentile(q, jnp.array([5.0, 95.0]), axis=1)
+        return {"mean": q.mean(axis=1), "std": q.std(axis=1),
                 "p5": pct[0], "p95": pct[1]}
 
-    cases = {"fields": fields}
     if mesh is not None:
-        return sweep_over_devices(case_fn, cases, mesh=mesh)
-    return jax.jit(jax.vmap(case_fn))(cases)
+        from generative_physics_informed_pde_tpu.parallel import (
+            shard_data_dict)
+        sharded = shard_data_dict(
+            {"fields": fields, "bc": bc_values}, mesh)
+        fields, bc_values = sharded["fields"], sharded["bc"]
+    return run(fields, bc_values)
 
 
 def main():
@@ -79,6 +88,11 @@ def main():
     out = qoi_sweep(phys, CORRLENGTHS, B, mesh=mesh, n=n)
     out = {k: np.asarray(v) for k, v in out.items()}
     dt = sw.stop()
+    # steady-state rate (cached compile, fresh fields)
+    sw2 = StopWatch(start=True)
+    out2 = qoi_sweep(phys, CORRLENGTHS, B, mesh=mesh, n=n, seed=1)
+    _ = {k: np.asarray(v) for k, v in out2.items()}
+    dt2 = sw2.stop()
 
     study = ParameterStudy([("corrlength_x100", int)])
     for i, l in enumerate(CORRLENGTHS):
@@ -89,7 +103,8 @@ def main():
               f"  [{out['p5'][i]:.4f}, {out['p95'][i]:.4f}]", flush=True)
     total_solves = B * len(CORRLENGTHS)
     print(f"{total_solves} batched {n}^2 solves in {dt:.1f}s "
-          f"-> {total_solves / dt:.0f} solves/s"
+          f"(cold, incl. compile) -> {total_solves / dt:.0f} solves/s; "
+          f"warm: {dt2:.1f}s -> {total_solves / dt2:.0f} solves/s"
           + (f" (mesh dp={n_mesh})" if n_mesh else ""))
     study.save("results_uncertainty_study.json")
     print("study saved to results_uncertainty_study.json")

@@ -290,10 +290,11 @@ class DataLoader:
         """Vectorised replacement for the per-sample loop of
         utils/data.py:312-325.
 
-        Sampling runs host-side in numpy (``sample_numpy``): it is a
-        one-time job, complex FFTs are unsupported on some TPU runtimes,
-        and even CPU-backend jax dispatch pays tunnel overheads there.
-        ``key`` seeds the numpy generator for reproducibility.
+        With a TPU attached, sampling runs on-device in fixed-size chunks
+        (the matmul-DFT circulant path -- this host has few cores, so
+        10k+ host-side fields would take tens of minutes).  On CPU-only
+        backends it runs host-side in numpy (``sample_numpy``).  ``key``
+        seeds either stream for reproducibility.
         """
         if key is None:
             seed = 0
@@ -301,7 +302,16 @@ class DataLoader:
             seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
         else:
             seed = int(key)
-        if hasattr(sampler, "sample_numpy"):
+        if jax.default_backend() != "cpu" and hasattr(sampler, "sample"):
+            CH = 1024  # one compiled shape regardless of N
+            chunks = []
+            base = jax.random.PRNGKey(seed)
+            for i in range(0, N, CH):
+                x = sampler.sample(jax.random.fold_in(base, i),
+                                   batch_size=CH, dtype=jnp.float32)
+                chunks.append(np.asarray(x[:min(CH, N - i)]))
+            X = np.concatenate(chunks, axis=0)
+        elif hasattr(sampler, "sample_numpy"):
             X = sampler.sample_numpy(np.random.default_rng(seed), N)
         else:  # generic jax sampler fallback
             X = np.asarray(sampler.sample(jax.random.PRNGKey(seed),

@@ -50,16 +50,19 @@ def test_uncertainty_sweep_sharded_matches_local():
     phys = fem.LinearEllipticPhysics("fom", "ND",
                                      fem.StructuredTriGrid(16, 16))
     lengths = (0.1, 0.2, 0.3, 0.4)
-    mesh = make_mesh(4)
+    mesh = make_mesh(8)  # 4 cases x B=8 flatten to 32, sharded over 8
     sharded = us.qoi_sweep(phys, lengths, B=8, mesh=mesh, n=16)
     local = us.qoi_sweep(phys, lengths, B=8, mesh=None, n=16)
     assert sharded["mean"].shape == (4,)
-    assert len(sharded["mean"].sharding.device_set) == 4
     for k in ("mean", "std", "p5", "p95"):
         np.testing.assert_allclose(np.asarray(sharded[k]),
                                    np.asarray(local[k]), rtol=1e-5,
                                    atol=1e-6)
         assert np.all(np.isfinite(np.asarray(sharded[k])))
+    # the QOI must actually be informative (center pressure ~ 0.5 for the
+    # 0->1 Dirichlet profile), not degenerate zeros
+    assert np.all(np.asarray(local["mean"]) > 0.2)
+    assert np.all(np.asarray(local["std"]) > 0.0)
 
 
 def _make_trainer(mesh=None, seed=0):
