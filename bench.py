@@ -65,6 +65,9 @@ def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64):
 
 def measure_steps_per_sec(trainer, n_steps: int, warmup: int = 5,
                           chunk: int = 25) -> float:
+    """chunk=1 skips compiling the scanned step variant entirely (the
+    scan compile alone takes tens of minutes on the 1-core host at
+    128^2)."""
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +84,8 @@ def measure_steps_per_sec(trainer, n_steps: int, warmup: int = 5,
         float(logs["elbo"])
 
     run(warmup, 1)
-    run(1, chunk)  # compile the scanned variant
+    if chunk > 1:
+        run(1, chunk)  # compile the scanned variant
     n_dispatch = max(1, n_steps // chunk)
     t0 = time.perf_counter()
     run(n_dispatch, chunk)
@@ -137,9 +141,13 @@ def main():
             with jax.default_device(cpu):
                 trainer_cpu, _, _ = build_trainer(loaders=(dl, dlu),
                                                   grid=grid)
-                runs = [measure_steps_per_sec(
-                    trainer_cpu, max(5, n_steps // 20), warmup=2)
-                    for _ in range(3)]
+                if grid >= 128:  # ~30 s/step on the 1-core host
+                    runs = [measure_steps_per_sec(trainer_cpu, 3, warmup=1,
+                                                  chunk=1)]
+                else:
+                    runs = [measure_steps_per_sec(
+                        trainer_cpu, max(5, n_steps // 20), warmup=2)
+                        for _ in range(3)]
             sps_cpu = max(runs)
             log(f"SVI steps/sec on cpu: best {sps_cpu:.3f} of "
                 f"{[round(r, 3) for r in runs]}")

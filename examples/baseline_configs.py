@@ -85,6 +85,28 @@ def config2(iterations=3000):
     return _run(p, dl, dlu, iterations)
 
 
+def config2e(iterations=1000):
+    """Config-2 with ENERGY virtual observables: the unlabeled fields'
+    solution posteriors come from annealed randomized-subspace energy
+    minimisation (reference VirtualObservables.py:672-793, 1001-1091)
+    instead of linear-Gaussian conditioning."""
+    p = TrainerParameters()
+    p.identifier = "highres"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=250,
+                     N_vo_holdoff=50, N_vo_update_interval=10,
+                     N_monte_carlo_vo=64)
+    p.scheduler = {"milestones": [500, 1500], "factor": math.sqrt(0.1)}
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+                  N_vo=64, N_val=64, armortized_bs=64,
+                  vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 32,
+                           "energy_num_iterations_per_update": 10,
+                           "T_init": 1.0, "T_final": 1e-6,
+                           "T_iterations": iterations + 1})
+    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
+    dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
+    return _run(p, dl, dlu, iterations)
+
+
 def config3(iterations=600):
     """High-contrast Matern at 128^2 with 16 MC ELBO samples per step."""
     p = TrainerParameters()
@@ -126,8 +148,8 @@ def config5():
                    check=True)
 
 
-CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4,
-           "5": config5}
+CONFIGS = {"1": config1, "2": config2, "2e": config2e, "3": config3,
+           "4": config4, "5": config5}
 
 
 if __name__ == "__main__":
