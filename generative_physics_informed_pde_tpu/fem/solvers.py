@@ -43,38 +43,53 @@ def stiffness_from_tensor(M: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
-              bc_dofs: jnp.ndarray, max_chunk: int = 128) -> jnp.ndarray:
+              bc_dofs: jnp.ndarray, max_chunk: int = 8192) -> jnp.ndarray:
     """Differentiable batched coarse solve ``K(alpha) y = F``.
 
     alpha: (..., c) positive conductivities; F: (..., d) force vectors that
     already carry the Dirichlet values at ``bc_dofs`` (reference:
     bottleneck/ROM.py:65-88 __call__).  Returns (..., d).
 
-    Very large batches (e.g. N x n_mc Monte-Carlo ensembles) are solved in
-    ``max_chunk``-sized chunks via ``lax.map``: the TPU triangular-solve
-    kernel's scoped-VMEM allocation OOMs beyond ~128 systems of ~81 dofs
-    (measured on v5e; the forward+VJP pair at B=256 already fails).
+    Solved via the symmetric reduced system ``K_ff y_f = F_f - K_fc y_c``
+    with a batched Cholesky factorisation (K_ff is SPD for positive
+    conductivities) instead of the reference's row-replaced LU
+    (torch.solve, ROM.py:59-61): measured 1.9-2.6x faster fwd+VJP on v5e
+    at B>=2048 and -- unlike the LU path, whose triangular-solve kernel
+    OOM'd scoped VMEM beyond ~128 systems -- it runs 8k+ systems in one
+    dispatch.  ``max_chunk`` only guards truly huge MC ensembles.
     """
+    bc = np.asarray(bc_dofs)
+    d = F.shape[-1]
+    free = np.setdiff1d(np.arange(d), bc)
+    FREE = jnp.asarray(free)
+    BC = jnp.asarray(bc)
+
+    def solve_batch(a, f):
+        K = jnp.einsum("ijc,...c->...ij", M, a)
+        Kff = K[..., FREE[:, None], FREE[None, :]]
+        L = jnp.linalg.cholesky(Kff)
+        rhs = f[..., FREE]
+        if len(bc):
+            Kfc = K[..., FREE[:, None], BC[None, :]]
+            yc = f[..., BC]
+            rhs = rhs - jnp.einsum("...ij,...j->...i", Kfc, yc)
+        yf = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+        out = f if len(bc) else jnp.zeros_like(f)
+        return out.at[..., FREE].set(yf)
+
     batch_shape = alpha.shape[:-1]
     total = int(np.prod(batch_shape)) if batch_shape else 1
     if total <= max_chunk:
-        K = stiffness_from_tensor(M, alpha, bc_dofs)
-        return jnp.linalg.solve(K, F[..., None])[..., 0]
+        return solve_batch(alpha, jnp.broadcast_to(F, batch_shape + (d,)))
 
-    c, d = alpha.shape[-1], F.shape[-1]
+    c = alpha.shape[-1]
     a2 = alpha.reshape(total, c)
     f2 = jnp.broadcast_to(F, batch_shape + (d,)).reshape(total, d)
     n_chunks = -(-total // max_chunk)
     pad = n_chunks * max_chunk - total
     a2 = jnp.pad(a2, ((0, pad), (0, 0)), constant_values=1.0)
     f2 = jnp.pad(f2, ((0, pad), (0, 0)))
-
-    def solve_chunk(args):
-        a, f = args
-        K = stiffness_from_tensor(M, a, bc_dofs)
-        return jnp.linalg.solve(K, f[..., None])[..., 0]
-
-    out = jax.lax.map(solve_chunk,
+    out = jax.lax.map(lambda args: solve_batch(*args),
                       (a2.reshape(n_chunks, max_chunk, c),
                        f2.reshape(n_chunks, max_chunk, d)))
     return out.reshape(n_chunks * max_chunk, d)[:total].reshape(

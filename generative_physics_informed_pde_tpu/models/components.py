@@ -107,7 +107,9 @@ class ROM:
         """X (..., c) positive conductivities, F (..., d) force with BC
         values applied -> (..., d) solutions."""
         M = jnp.asarray(self.M, dtype=X.dtype)
-        return rom_solve(M, X, F, jnp.asarray(self.bc_dofs))
+        # bc_dofs stays host numpy: rom_solve derives the static free-dof
+        # index set from it (a traced index array would break the trace)
+        return rom_solve(M, X, F, self.bc_dofs)
 
     def get_stiffness(self, X: jnp.ndarray, dirichlet_bc: bool = True):
         M = jnp.asarray(self.M, dtype=X.dtype)

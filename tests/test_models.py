@@ -95,7 +95,8 @@ def test_rom_operator_gradients(physics):
     e = 1e-6
     d = jnp.zeros_like(logX).at[0, 3].set(e)
     fd = (loss(logX + d) - loss(logX - d)) / (2 * e)
-    np.testing.assert_allclose(float(grad[0, 3]), float(fd), rtol=1e-5)
+    np.testing.assert_allclose(float(grad[0, 3]), float(fd), rtol=1e-5,
+                               atol=1e-10)
 
 
 def test_effective_property_map_variants():
