@@ -10,4 +10,33 @@ vmapped/jitted SVI training and ``jax.sharding`` data parallelism.
 
 __version__ = "0.1.0"
 
-from . import fem  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out: GPIPDE_NO_COMPILE_CACHE).
+
+    Train-step compiles at 128^2+ take minutes; the on-disk cache makes
+    repeat runs' setup near-instant on standard TPU/CPU backends.  (Some
+    tunneled runtimes cache server-side instead and ignore this -- it is
+    harmless there.)  Only set when the user hasn't configured one
+    already.
+    """
+    if _os.environ.get("GPIPDE_NO_COMPILE_CACHE"):
+        return
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            path = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "gpipde_jax")
+            _jax.config.update("jax_compilation_cache_dir", path)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover -- never block import on this
+        pass
+
+
+_enable_compilation_cache()
+
+from . import fem  # noqa: F401,E402
