@@ -16,19 +16,21 @@ import jax as _jax
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache (opt-out: GPIPDE_NO_COMPILE_CACHE).
+    """Persistent XLA compilation cache, opt-IN via GPIPDE_COMPILE_CACHE=dir
+    (or "1" for the default ~/.cache/gpipde_jax).
 
-    Train-step compiles at 128^2+ take minutes; the on-disk cache makes
-    repeat runs' setup near-instant on standard TPU/CPU backends.  (Some
-    tunneled runtimes cache server-side instead and ignore this -- it is
-    harmless there.)  Only set when the user hasn't configured one
-    already.
+    Train-step compiles at 128^2+ take minutes, and the cache makes repeat
+    runs' setup near-instant -- but it is not enabled by default: on
+    mixed remote/local setups a cached CPU AOT executable compiled on a
+    different host can be loaded with mismatched machine features (XLA
+    warns of possible SIGILL), so the user must choose it deliberately.
     """
-    if _os.environ.get("GPIPDE_NO_COMPILE_CACHE"):
+    opt = _os.environ.get("GPIPDE_COMPILE_CACHE")
+    if not opt:
         return
     try:
         if _jax.config.jax_compilation_cache_dir is None:
-            path = _os.path.join(
+            path = opt if opt != "1" else _os.path.join(
                 _os.path.expanduser("~"), ".cache", "gpipde_jax")
             _jax.config.update("jax_compilation_cache_dir", path)
             _jax.config.update(
