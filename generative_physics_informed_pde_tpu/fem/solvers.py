@@ -65,6 +65,11 @@ def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
     BC = jnp.asarray(bc)
 
     def solve_batch(a, f):
+        # fence the dense-solve block off from surrounding elementwise
+        # work: XLA fusing the caller's exp/einsum chains into the
+        # Cholesky kernels faults the v5e runtime at B ~ 4k (same failure
+        # class as the multigrid-in-CG fault, benchmarks/mg_repro.py)
+        a, f = jax.lax.optimization_barrier((a, f))
         K = jnp.einsum("ijc,...c->...ij", M, a)
         Kff = K[..., FREE[:, None], FREE[None, :]]
         L = jnp.linalg.cholesky(Kff)
@@ -75,7 +80,7 @@ def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
             rhs = rhs - jnp.einsum("...ij,...j->...i", Kfc, yc)
         yf = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
         out = f if len(bc) else jnp.zeros_like(f)
-        return out.at[..., FREE].set(yf)
+        return jax.lax.optimization_barrier(out.at[..., FREE].set(yf))
 
     batch_shape = alpha.shape[:-1]
     total = int(np.prod(batch_shape)) if batch_shape else 1
