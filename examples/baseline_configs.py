@@ -38,15 +38,28 @@ def _loaders(rf, n_labeled, n_unlabeled, seed=0):
     return dl, dlu
 
 
-def _run(params, dl, dlu, iterations):
+def _run(params, dl, dlu, iterations, ckpt_dir=None, seg=None):
+    """Run the trainer; with ``ckpt_dir`` set, run in ``seg``-iteration
+    segments checkpointing after each (long v5e runs survive
+    interruptions -- resume by restarting with the same arguments)."""
+    import os
     t0 = time.time()
     tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
                                       permutation_u=np.arange(dlu.N),
                                       dl=dl, dlu=dlu)
     print(f"setup: {time.time() - t0:.1f}s", flush=True)
     tr.info()
+    if ckpt_dir and os.path.isdir(os.path.join(ckpt_dir, "latest")):
+        tr.restore_checkpoint(os.path.join(ckpt_dir, "latest"))
+        print(f"resumed from {ckpt_dir} at gn={tr.gn}", flush=True)
     t0 = time.time()
-    tr.run(iterations, verbose=True)
+    seg = seg or iterations
+    while tr.gn < iterations:
+        n = min(seg, iterations - tr.gn)
+        tr.run(n, verbose=True)
+        if ckpt_dir:
+            tr.save_checkpoint(os.path.join(ckpt_dir, "latest"))
+            print(f"checkpoint @ gn={tr.gn}: {tr.results()}", flush=True)
     dt = time.time() - t0
     print(f"{iterations} iters in {dt:.1f}s -> {iterations / dt:.1f} steps/s",
           flush=True)
@@ -108,18 +121,27 @@ def config2e(iterations=1000):
 
 
 def config3(iterations=600):
-    """High-contrast Matern at 128^2 with 16 MC ELBO samples per step."""
+    """High-contrast Matern at 128^2 with 16 MC ELBO samples per step.
+
+    For converged runs (iterations > 1000) the LR decays scale with the
+    budget (thirds, factor sqrt(0.1) as in the example recipe) and the run
+    checkpoints every 1000 iterations to results/config3_ckpt."""
     p = TrainerParameters()
     p.identifier = "highres128"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=200,
                      N_monte_carlo_elbo=16, N_monte_carlo_analysis=16)
-    p.scheduler = {"milestones": [400], "factor": 0.5}
+    if iterations > 1000:
+        p.scheduler = {"milestones": [iterations // 3, 2 * iterations // 3],
+                       "factor": math.sqrt(0.1)}
+    else:
+        p.scheduler = {"milestones": [400], "factor": 0.5}
     p.data.update(N_u=256, N_s=128, N_u_max=256, N_s_max=128, N_vo_max=0,
                   N_vo=0, N_val=64, armortized_bs=32, vo_spec={})
     rf = GaussianRandomField.from_image(128, 128, 0.4, 1.0, 0.08,
                                         method="fft", kernel="matern32")
     dl, dlu = _loaders(rf, 128 + 64, 256)
-    return _run(p, dl, dlu, iterations)
+    ckpt = "results/config3_ckpt" if iterations > 1000 else None
+    return _run(p, dl, dlu, iterations, ckpt_dir=ckpt, seg=1000)
 
 
 def config4(iterations=2000):

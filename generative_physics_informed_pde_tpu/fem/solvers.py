@@ -58,6 +58,14 @@ def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
     OOM'd scoped VMEM beyond ~128 systems -- it runs 8k+ systems in one
     dispatch.  ``max_chunk`` only guards truly huge MC ensembles.
     """
+    # promote to one dtype up front: the scatter at the end
+    # (out.at[FREE].set(yf)) must be same-dtype -- mixed f64/f32 inputs
+    # (the x64 analysis path) used to downcast silently and will be a hard
+    # error on future JAX (scatter dtype FutureWarning).
+    dt = jnp.result_type(M.dtype, alpha.dtype, F.dtype)
+    M = M.astype(dt)
+    alpha = alpha.astype(dt)
+    F = F.astype(dt)
     bc = np.asarray(bc_dofs)
     d = F.shape[-1]
     free = np.setdiff1d(np.arange(d), bc)
