@@ -56,6 +56,12 @@ class GenerativeModel:
     preprocess_y: Optional[Callable] = None     # hook (generative.py:51-56)
     n_mc: int = 1   # MC ELBO samples per step (reference uses 1; >1 is the
     #                 BASELINE config-3 extension, averaged per-term)
+    # Optional NamedSharding for the flattened (N*n_mc) Monte-Carlo batch
+    # axis: on a ("dp","mc") mesh the S-fold replicated supervised batch is
+    # spread over BOTH axes (SURVEY §2.7's MC-ELBO-sample axis), so the
+    # n_mc>1 decode + embedded ROM solves scale over dp*mc devices instead
+    # of replicating over 'mc'.  Set via Trainer.setup(mesh=...).
+    mc_sharding: Any = None
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------- shapes
@@ -176,6 +182,9 @@ class GenerativeModel:
             X_rep = jnp.repeat(X, S, axis=0)
             Y_rep = jnp.repeat(Y, S, axis=0)
             F_rep = jnp.repeat(F, S, axis=0)
+            if self.mc_sharding is not None:
+                Z, X_rep, Y_rep, F_rep = jax.lax.with_sharding_constraint(
+                    (Z, X_rep, Y_rep, F_rep), self.mc_sharding)
         else:
             Z = va.sample(qz, k1)
             X_rep, Y_rep, F_rep = X, Y, F
@@ -190,6 +199,9 @@ class GenerativeModel:
             if S > 1:
                 X_sample = va.sample_all_components(qX, k2, S).reshape(
                     -1, self.dim_effective_property)
+                if self.mc_sharding is not None:
+                    X_sample = jax.lax.with_sharding_constraint(
+                        X_sample, self.mc_sharding)
             else:
                 X_sample = va.sample(qX, k2)
             mu_X, logsigmas_X = self.apply_gp(params, Z)

@@ -47,6 +47,16 @@ def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def mc_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """First-dim sharded over ALL mesh axes jointly.
+
+    For the flattened (N * n_mc) Monte-Carlo ELBO batch on a ("dp","mc")
+    mesh: the sample-major flat axis is split dp-major, so each dp group
+    keeps its data samples and the 'mc' axis subdivides their MC
+    replicates (SURVEY §2.7's MC-ELBO-sample axis)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
 def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     """Place every array in a (nested) data dict with its batch dimension
     sharded over ``axis``."""

@@ -279,6 +279,11 @@ class Trainer:
         n_mc = self.get("N_monte_carlo_elbo")
         if n_mc != self.model.n_mc:
             self.model = dataclasses.replace(self.model, n_mc=n_mc)
+        if mesh is not None and n_mc > 1 and "mc" in mesh.axis_names:
+            # spread the flattened (N*n_mc) MC batch over dp AND mc axes
+            from ..parallel.mesh import mc_batch_sharding
+            self.model = dataclasses.replace(
+                self.model, mc_sharding=mc_batch_sharding(mesh))
 
         # -- device-resident dataset shards --------------------------------
         dt = self._dtype

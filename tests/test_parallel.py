@@ -65,7 +65,7 @@ def test_uncertainty_sweep_sharded_matches_local():
     assert np.all(np.asarray(local["std"]) > 0.0)
 
 
-def _make_trainer(mesh=None, seed=0):
+def _make_trainer(mesh=None, seed=0, n_mc=1):
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 24, key=jax.random.PRNGKey(2))
     dlu = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(3))
@@ -75,6 +75,7 @@ def _make_trainer(mesh=None, seed=0):
     p.debug = True
     p.seed = seed
     p.trainer["lr_init"] = 1e-2
+    p.trainer["N_monte_carlo_elbo"] = n_mc
     p.scheduler = {"milestones": [50], "factor": 0.5}
     p.data.update(N_u=16, N_s=16, N_u_max=16, N_s_max=16, N_vo_max=0,
                   N_vo=0, N_val=8, armortized_bs=8, vo_spec={})
@@ -98,5 +99,25 @@ def test_sharded_training_matches_single_device():
     # the last-ulp differences to ~1e-4 relative
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
     # the sharded run's per-datapoint block really lives on 8 devices
+    sh = tr8.state.params["q_z"]["supervised"]["mean"].sharding
+    assert len(sh.device_set) == 8
+
+
+def test_mc_sharded_training_matches_single_device():
+    """SURVEY §2.7's MC-ELBO-sample axis: on a ("dp","mc") mesh with
+    n_mc>1 the flattened (N*n_mc) supervised batch is spread over BOTH
+    axes, and the math matches the unsharded step."""
+    tr1 = _make_trainer(mesh=None, seed=13, n_mc=4)
+    tr8 = _make_trainer(mesh=make_mesh(8, ("dp", "mc"), (4, 2)), seed=13,
+                        n_mc=4)
+    assert tr8.model.mc_sharding is not None
+    assert tr1.model.mc_sharding is None
+    tr1.run(3, verbose=False)
+    tr8.run(3, verbose=False)
+    a = np.asarray(tr1.state.params["q_z"]["supervised"]["mean"])
+    b = np.asarray(tr8.state.params["q_z"]["supervised"]["mean"])
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+    # per-datapoint block: sharded over 'dp', replicated over 'mc' -- it
+    # lives on all 8 devices of the (4,2) mesh
     sh = tr8.state.params["q_z"]["supervised"]["mean"].sharding
     assert len(sh.device_set) == 8
