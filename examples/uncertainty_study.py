@@ -29,6 +29,31 @@ from generative_physics_informed_pde_tpu.utils import ParameterStudy, StopWatch
 
 CORRLENGTHS = (0.04, 0.08, 0.16, 0.32)
 
+# jitted sweep bodies keyed on (physics, C, B): a fresh @jax.jit closure
+# per qoi_sweep call would RETRACE on every call, so the "warm" rate
+# would silently include a full retrace + XLA compile
+_RUN_CACHE: dict = {}
+
+
+def _get_run(phys, C, B):
+    cache_key = (id(phys), C, B)
+    if cache_key not in _RUN_CACHE:
+        conv = fem.PixelConverter(phys.grid)
+        qoi = QOI(phys.grid, mx=0.5, my=0.5)
+
+        @jax.jit
+        def run(fields, bc_values):
+            x_dg = conv.image_to_function(fields)
+            Y = phys.solve_batched(jnp.exp(x_dg), bc_values)
+            q = qoi.extract(Y, bc_values=bc_values,
+                            profile=phys.profile).reshape(C, B)
+            pct = jnp.percentile(q, jnp.array([5.0, 95.0]), axis=1)
+            return {"mean": q.mean(axis=1), "std": q.std(axis=1),
+                    "p5": pct[0], "p95": pct[1]}
+
+        _RUN_CACHE[cache_key] = run
+    return _RUN_CACHE[cache_key]
+
 
 def qoi_sweep(phys, corrlengths, B, mesh=None, n=64, seed=0):
     """Sample ``B`` fields per correlation length and run the whole sweep
@@ -42,8 +67,6 @@ def qoi_sweep(phys, corrlengths, B, mesh=None, n=64, seed=0):
     ``len(corrlengths)``.
     """
     C = len(corrlengths)
-    conv = fem.PixelConverter(phys.grid)
-    qoi = QOI(phys.grid, mx=0.5, my=0.5)
     theta = jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]]), (C * B, 1))
     bc_values = phys.profile.constrained_values(theta)
 
@@ -55,15 +78,7 @@ def qoi_sweep(phys, corrlengths, B, mesh=None, n=64, seed=0):
                  dtype=jnp.float32)
         for l in corrlengths])                     # (C*B, n, n)
 
-    @jax.jit
-    def run(fields, bc_values):
-        x_dg = conv.image_to_function(fields)
-        Y = phys.solve_batched(jnp.exp(x_dg), bc_values)
-        q = qoi.extract(Y, bc_values=bc_values,
-                        profile=phys.profile).reshape(C, B)
-        pct = jnp.percentile(q, jnp.array([5.0, 95.0]), axis=1)
-        return {"mean": q.mean(axis=1), "std": q.std(axis=1),
-                "p5": pct[0], "p95": pct[1]}
+    run = _get_run(phys, C, B)
 
     if mesh is not None:
         from generative_physics_informed_pde_tpu.parallel import (

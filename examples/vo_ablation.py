@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""The virtual-observables ablation: does the reference's central thesis
+hold in this rebuild?
+
+Three arms at EQUAL labeled budget (N_s=64), equal unlabeled budget
+(N_u=1024, amortized), equal iterations, identical data permutations and
+an IDENTICAL held-out validation set (the vo partition slot is reserved
+in every arm so the validation fields are the same 64 samples):
+
+  a "labels"    : no virtual observables -- the 64 VO fields are unused
+  b "constrain" : + N_vo=64 fields with linear-Gaussian constraint VO
+                  (CGR + flux + Gaussian sketch + RBF, the config-2 spec;
+                  reference VirtualObservables.py:596-669)
+  c "energy"    : + N_vo=64 fields with annealed randomized-subspace
+                  energy VO (reference VirtualObservables.py:672-793)
+
+If (b)/(c) do not beat (a) on posterior-predictive rel-L2 / r2 /
+logscore, the semi-supervised machinery does not earn its keep
+(reference thesis: readme.md:3-8).
+
+    python examples/vo_ablation.py [iterations] [arm]
+
+Default runs all three arms sequentially and writes
+results/vo_ablation.json plus a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from generative_physics_informed_pde_tpu.data import DataLoader
+from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+from generative_physics_informed_pde_tpu.training import (
+    TrainerParameters, CreateTrainerFromPermutation)
+
+
+def _params(iterations: int, arm: str) -> TrainerParameters:
+    p = TrainerParameters()
+    p.identifier = "highres"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
+    p.scheduler = {"milestones": [iterations // 4, (5 * iterations) // 8],
+                   "factor": math.sqrt(0.1)}
+    # N_vo_max=64 in EVERY arm: the vo partition slot stays reserved so
+    # supervised/validation index into identical fields across arms.
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+                  N_val=64, armortized_bs=64)
+    if arm == "labels":
+        p.data.update(N_vo=0, vo_spec={})
+    elif arm == "constrain":
+        p.trainer.update(N_vo_holdoff=250, N_vo_update_interval=250,
+                         N_monte_carlo_vo=64)
+        p.data.update(N_vo=64,
+                      vo_spec={"type": "constrain", "CGR": True,
+                               "flux": True, "N_gaussian": 8, "N_rbf": 8,
+                               "l_rbf": 0.2})
+    elif arm == "energy":
+        p.trainer.update(N_vo_holdoff=50, N_vo_update_interval=10,
+                         N_monte_carlo_vo=64)
+        p.data.update(N_vo=64,
+                      vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 32,
+                               "energy_num_iterations_per_update": 10,
+                               "T_init": 1.0, "T_final": 1e-6,
+                               "T_iterations": iterations + 1})
+    else:
+        raise ValueError(arm)
+    return p
+
+
+def run_arm(arm: str, iterations: int) -> dict:
+    # fresh loaders per arm, SAME keys -> identical fields and labels
+    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
+    dl = DataLoader.from_sampler(rf, 64 + 64 + 64, key=0)
+    dlu = DataLoader.from_sampler(rf, 1024, key=1)
+    dlu.lock_physics_assembly()
+
+    p = _params(iterations, arm)
+    t0 = time.time()
+    tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    print(f"[{arm}] setup: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    tr.run(iterations, verbose=True)
+    dt = time.time() - t0
+    out = dict(tr.results())
+    out.update(arm=arm, iterations=iterations, steps_per_sec=iterations / dt)
+    print(f"[{arm}] {iterations} iters in {dt:.1f}s "
+          f"({out['steps_per_sec']:.2f} steps/s): {out}", flush=True)
+    return out
+
+
+def main():
+    iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    arms = [sys.argv[2]] if len(sys.argv) > 2 else ["labels", "constrain",
+                                                    "energy"]
+    results = []
+    path = "results/vo_ablation.json"
+    if os.path.exists(path) and len(sys.argv) > 2:
+        results = json.load(open(path))  # accumulate single-arm runs
+    for arm in arms:
+        results = [r for r in results if r["arm"] != arm]
+        results.append(run_arm(arm, iterations))
+        os.makedirs("results", exist_ok=True)
+        json.dump(results, open(path, "w"), indent=1)
+    print(f"\n{'arm':<10} {'rel-L2':>8} {'r2_y':>8} {'logscore':>9}")
+    for r in results:
+        print(f"{r['arm']:<10} {r['relerr_y']:>8.4f} {r['r2_y']:>8.4f} "
+              f"{r['logscore_y']:>9.3f}")
+
+
+if __name__ == "__main__":
+    main()

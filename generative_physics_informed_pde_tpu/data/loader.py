@@ -80,7 +80,16 @@ class DataLoader:
     # --------------------------------------------------------- assembly
     def assemble_BCE(self, physics, rng: Optional[np.random.Generator] = None):
         """Sample one BC per field and cache dofs for both spaces
-        (reference: utils/data.py:66-70)."""
+        (reference: utils/data.py:66-70).
+
+        Without an explicit ``rng`` the BC draw is seeded from the
+        loader's content hash: rebuilding a loader from the same fields
+        (same ``from_sampler`` key, or the same file) reproduces the same
+        boundary conditions -- so trainer construction is deterministic
+        end-to-end, which checkpoint-resume determinism relies on.  (The
+        reference leaves this to torch's global RNG state.)"""
+        if rng is None:
+            rng = np.random.default_rng(int(self.hash[:16], 16))
         family = physics["fom"].physics_id
         self._BCE = BoundaryConditionEnsemble.from_factory(family, self.N, rng)
         self._BCE.register_function_space("rom", physics["rom"].grid)
@@ -295,6 +304,10 @@ class DataLoader:
         10k+ host-side fields would take tens of minutes).  On CPU-only
         backends it runs host-side in numpy (``sample_numpy``).  ``key``
         seeds either stream for reproducibility.
+
+        NOTE: the two streams are intentionally DIFFERENT -- the same key
+        yields different (equally distributed) datasets on TPU vs CPU
+        backends.  Within one backend the draw is fully reproducible.
         """
         if key is None:
             seed = 0
@@ -302,8 +315,11 @@ class DataLoader:
             seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
         else:
             seed = int(key)
-        if jax.default_backend() != "cpu" and hasattr(sampler, "sample"):
-            CH = 1024  # one compiled shape regardless of N
+        from ..utils.backend import effective_platform
+        if effective_platform() != "cpu" and hasattr(sampler, "sample"):
+            # bucketed chunk sizes: one compiled shape for large N, but a
+            # tiny request (N=24) should not sample/pay for a 1024-batch
+            CH = next(c for c in (128, 1024) if c >= min(N, 1024))
             chunks = []
             base = jax.random.PRNGKey(seed)
             for i in range(0, N, CH):

@@ -117,7 +117,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     slow).
     """
     if precond_dtype is None:
-        precond_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+        from ..utils.backend import effective_platform
+        precond_dtype = ("bfloat16" if effective_platform() == "tpu"
                          else "float32")
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1
@@ -157,7 +158,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         if use_pallas:
             from ..ops.stencil import apply_stencil
 
-            interp = jax.default_backend() != "tpu"
+            from ..utils.backend import effective_platform
+            interp = effective_platform() != "tpu"
             return lambda v: apply_stencil(coefs, mask * v, mask,
                                            interpret=interp)
         return lambda v: mask * _apply_stencil_blast(coefs, mask * v)

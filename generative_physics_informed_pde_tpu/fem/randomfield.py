@@ -215,7 +215,8 @@ class GaussianRandomField:
         return out[0] if squeeze else out
 
     def _sample_fft(self, key, n, dtype):
-        if jax.default_backend() == "tpu":
+        from ..utils.backend import effective_platform
+        if effective_platform() == "tpu":
             # complex dtypes are unsupported on (some) TPU runtimes
             # (observed 2026-08-16: broadcast of complex64 raises
             # UNIMPLEMENTED via the axon tunnel) -- and the MXU prefers

@@ -195,6 +195,72 @@ def test_precision_learning_formula(setup):
     assert float(jnp.min(vo.vo_variances)) >= 0
 
 
+@pytest.mark.slow
+def test_f32_conditioning_matches_f64_oracle_at_config2_scale():
+    """The dtype that PRODUCTION runs on the chip: VO conditioning +
+    Gamma precision update in float32 at config-2 scale (64^2 grid,
+    CGR+flux+Gaussian+RBF constraint stack over 4065 free dofs) must stay
+    finite (Cholesky succeeds with the eps=1e-6 f32 jitter floor,
+    constraints/virtual_observables.py:407) and track the f64 oracle.
+
+    The reference FORCES float64 here (VirtualObservables.py:419-420);
+    this rebuild runs f32 on TPU, so the claim needs a test, not a
+    docstring."""
+    physics = fem.make_fom_rom_pair("ND", 8, 8, 3)  # 64^2 fine grid
+    fom = physics["fom"]
+    rf = fem.GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04,
+                                            method="fft")
+    X_img = rf.sample(jax.random.PRNGKey(0), batch_size=4)
+    logx = fem.PixelConverter(fom.grid).image_to_function(X_img)
+    N = logx.shape[0]
+    rng = np.random.default_rng(0)
+    bce = fem.BoundaryConditionEnsemble.from_factory("ND", N, rng)
+    bce.register_function_space("fom", fom.grid)
+    bcv = jnp.asarray(bce.constrained_values("fom"))
+    qpe = QuerryPointEnsemble(physics=fom, X_DG=jnp.asarray(logx),
+                              bc_values=bcv)
+    Y = fom.solve_batched(jnp.exp(qpe.X_DG), bcv)
+
+    coords = fom.grid.node_coords[fom.profile.free_dofs]
+    op = FluxConstraintOperator(coarse=physics["rom"].grid, fine=fom.grid)
+
+    def make_vo(dtype):
+        sampler = ConcatenatedSamplers([
+            CoarseGrainedResidualSampler(W=physics["W"]),
+            FluxConstrainSampler(operator=op, physics=fom),
+            GaussianSketchingSampler(N_aux=8),
+            RadialBasisFunctionSampler(l=0.2, N_aux=8, coords=coords),
+        ])
+        return VirtualObservablesEnsemble(qpe, sampler, dtype=dtype)
+
+    vo32 = make_vo(jnp.float32)
+    vo64 = make_vo(jnp.float64)
+    # realistic mid-training prior: noisy solution, moderate confidence
+    G = Y + jnp.asarray(np.random.default_rng(2).normal(0, 0.2, Y.shape))
+    PREC = jnp.full(Y.shape, 1.0 / 0.2 ** 2)
+    for it in range(2):  # 2nd update engages the Gamma precision learning
+        vo32.update(G, PREC, it)
+        vo64.update(G, PREC, it)
+
+    m32, v32 = np.asarray(vo32.mean), np.asarray(vo32.vars)
+    m64, v64 = np.asarray(vo64.mean), np.asarray(vo64.vars)
+    assert np.all(np.isfinite(m32)) and np.all(np.isfinite(v32))
+    assert np.all(v32 > 0)
+    # f32 conditioning must track the f64 oracle to well under the
+    # constraint-noise scale the trainer consumes it at
+    rel_mean = np.linalg.norm(m32 - m64) / np.linalg.norm(m64)
+    assert rel_mean < 1e-3, rel_mean
+    rel_vars = np.abs(v32 - v64) / (np.abs(v64) + 1e-12)
+    assert np.median(rel_vars) < 1e-2, np.median(rel_vars)
+    # learned constraint noise agrees too
+    vv32, vv64 = np.asarray(vo32.vo_variances), np.asarray(vo64.vo_variances)
+    mask = ~np.asarray(vo32.infinite_precision_mask)
+    np.testing.assert_allclose(vv32[mask], vv64[mask], rtol=5e-2)
+    # and the f32 posterior means actually moved toward the solutions
+    assert (np.linalg.norm(m32 - np.asarray(Y))
+            < np.linalg.norm(np.asarray(G) - np.asarray(Y)))
+
+
 def test_energy_vo_converges_to_minimizer(setup):
     physics, qpe, Y, _ = setup
     fom = physics["fom"]

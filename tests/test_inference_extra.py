@@ -68,6 +68,7 @@ def test_analysis_from_encoder_and_eval_all(small_model):
     assert analysis.series["relerr_y"].iteration[-1] == 5
 
 
+@pytest.mark.slow
 def test_trainer_energy_vo():
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 20, key=jax.random.PRNGKey(0))
@@ -95,6 +96,7 @@ def test_trainer_energy_vo():
     assert tr.VO.temperature < 1.0  # schedule advanced
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_roundtrip(tmp_path):
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
@@ -123,7 +125,27 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     tr.run(2, verbose=False)  # resumes cleanly
     assert tr.gn == 6
 
+    # determinism: interrupt-and-resume (4+2) must equal an uninterrupted
+    # 6-step run -- the property users actually rely on.  (The PRNG key,
+    # optimizer moments and step counter all live in the checkpoint.)
+    dl2 = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
+    dlu2 = DataLoader.from_sampler(rf, 8, key=jax.random.PRNGKey(1))
+    dlu2.lock_physics_assembly()
+    tr2 = CreateTrainerFromPermutation(p, permutation=np.arange(dl2.N),
+                                       permutation_u=np.arange(dlu2.N),
+                                       dl=dl2, dlu=dlu2)
+    tr2.run(6, verbose=False)
+    resumed = tr.state.params
+    straight = tr2.state.params
+    flat_a, tree_a = jax.tree_util.tree_flatten(resumed)
+    flat_b, tree_b = jax.tree_util.tree_flatten(straight)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
 
+
+@pytest.mark.slow
 def test_trainer_plateau_scheduler():
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))

@@ -59,6 +59,42 @@ def test_mg_levels():
     assert mg2.num_levels == 1
 
 
+def test_bf16_vcycle_true_residual_high_contrast():
+    """ADVICE r2: bf16 rounding makes the V-cycle application
+    input-dependent, so standard PCG with recurrence-residual termination
+    could silently under-converge on high-contrast fields.  Check the
+    TRUE post-solve residual (not the CG recurrence) on config-3-grade
+    contrast (lognormal sigma=1.3 -> worst-case ~2e4:1 across the batch)
+    at 128^2 with the bf16 preconditioner."""
+    n = 128
+    phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(n, n))
+    rng = np.random.default_rng(3)
+    B = 4
+    alphas = jnp.asarray(
+        np.exp(rng.normal(0, 1.3, (B, phys.grid.n_cells))), jnp.float32)
+    vals = phys.profile.constrained_values(
+        jnp.tile(jnp.array([[0.0, 0.0, 1.0, 1.0]], jnp.float32), (B, 1)))
+    tol = 2e-6
+    solve = jax.jit(make_batched_fom_solver(
+        phys.op, phys.profile, precond="mg", precond_dtype="bfloat16",
+        tol=tol))
+    Yf = solve(alphas, vals)
+    # true residual of the reduced system K_ff y_f = f_eff: apply the
+    # full operator to y_f scattered with ZERO constrained values, so the
+    # free-dof rows give exactly K_ff y_f
+    free = np.asarray(phys.profile.free_dofs)
+    f_eff = phys.effective_force(alphas, vals)[:, free]
+    y0_full = jnp.zeros((B, phys.dim_out_all),
+                        alphas.dtype).at[:, free].set(Yf)
+    Ky = phys.op.matvec(alphas, y0_full)[:, free]
+    rel = (np.linalg.norm(np.asarray(Ky - f_eff), axis=1)
+           / np.linalg.norm(np.asarray(f_eff), axis=1))
+    assert np.all(np.isfinite(np.asarray(Yf)))
+    # allow one order of magnitude over the recurrence tol for the
+    # true-vs-recurrence gap; silent under-convergence would be >> this
+    assert np.all(rel < 10 * tol), rel
+
+
 def test_mg_gradients_match_jacobi():
     phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(32, 32))
     rng = np.random.default_rng(2)

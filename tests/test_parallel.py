@@ -37,6 +37,7 @@ def test_sweep_over_devices():
     np.testing.assert_allclose(np.asarray(out), expect)
 
 
+@pytest.mark.slow
 def test_uncertainty_sweep_sharded_matches_local():
     """The config-5 QOI sweep (examples/uncertainty_study.py) runs as one
     SPMD program with cases sharded over the mesh; sharded == unsharded."""
@@ -86,6 +87,7 @@ def _make_trainer(mesh=None, seed=0, n_mc=1):
         tr.setup(scheduler_spec=p.scheduler, mesh=mesh)
     return tr
 
+@pytest.mark.slow
 def test_sharded_training_matches_single_device():
     """The dp-sharded step computes the same math as the unsharded one
     (same seed, same data) -- sharding only changes the layout."""
@@ -103,6 +105,7 @@ def test_sharded_training_matches_single_device():
     assert len(sh.device_set) == 8
 
 
+@pytest.mark.slow
 def test_mc_sharded_training_matches_single_device():
     """SURVEY §2.7's MC-ELBO-sample axis: on a ("dp","mc") mesh with
     n_mc>1 the flattened (N*n_mc) supervised batch is spread over BOTH

@@ -106,6 +106,7 @@ def test_trainer_smoke(small_loaders, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_trainer_with_virtual_observables(small_loaders):
     dl, dlu = small_loaders
     params = _params(N_vo=6, N_vo_max=6, N_s=8, N_s_max=8,
@@ -125,6 +126,7 @@ def test_trainer_with_virtual_observables(small_loaders):
     assert np.isfinite(res["logscore_y"])
 
 
+@pytest.mark.slow
 def test_trainer_energy_vo_end_to_end(small_loaders):
     """Train >=200 iterations with energy-VOs and an annealing temperature
     schedule: the ELBO must improve and the VO means must approach the
