@@ -161,6 +161,10 @@ def main():
         "unit": "steps/s",
         "vs_baseline": (round(vs_baseline, 2)
                         if np.isfinite(vs_baseline) else None),
+        "caveat": "vs_baseline is same-math jitted JAX on THIS host's "
+                  "single CPU core; a 16-core workstation would be "
+                  "~10-16x faster, i.e. divide by ~10-16 for a "
+                  "typical-CPU comparison",
     }))
 
 

@@ -39,14 +39,14 @@ def true_residual(fom, alphas, vals, Y):
     return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
 
 
-def run(n, B, precond_dtype, reps=3):
+def run(n, B, precond_dtype, reps=3, precond="mg"):
     phys = fem.make_fom_rom_pair("NDP", 8, 8, int(np.log2(n // 8)))
     fom = phys["fom"]
     assert fom.grid.nx == n, (fom.grid.nx, n)
     from generative_physics_informed_pde_tpu.fem.batched_solver import (
         make_batched_fom_solver)
     solve = jax.jit(make_batched_fom_solver(
-        fom.op, fom.profile, precond="mg", precond_dtype=precond_dtype))
+        fom.op, fom.profile, precond=precond, precond_dtype=precond_dtype))
     key = jax.random.PRNGKey(0)
     alphas = jnp.exp(0.8 * jax.random.normal(
         key, (B, fom.grid.n_cells), jnp.float32))
@@ -60,13 +60,29 @@ def run(n, B, precond_dtype, reps=3):
         float(solve(alphas, vals).sum())
         best = min(best, time.perf_counter() - t0)
     res = true_residual(fom, alphas, vals, Y)
-    print(f"{n}^2 B={B} mg/{precond_dtype:9s}: {B / best:8.1f} solves/s "
+    tag = precond if precond != "mg" else f"mg/{precond_dtype}"
+    print(f"{n}^2 B={B} {tag:12s}: {B / best:8.1f} solves/s "
           f"({best * 1e3:7.1f} ms)  true rel residual {res:.2e}", flush=True)
     return B / best, res
 
 
+def threshold_study():
+    """VERDICT r2 item 4: is the auto-MG nx>=128 threshold justified, or
+    does MG-PCG already beat Jacobi-PCG at 64^2?  Measure both at the
+    driver-metric shape (64^2 x B=1024) and at 32^2."""
+    for (n, B) in [(32, 1024), (64, 1024)]:
+        sj, rj = run(n, B, None, precond="jacobi")
+        sm, rm = run(n, B, "bfloat16", precond="mg")
+        winner = "mg" if sm > sj else "jacobi"
+        print(f"  -> {n}^2 winner: {winner} ({sm / sj:.2f}x mg/jacobi, "
+              f"residuals {rj:.1e} vs {rm:.1e})", flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
+    if "--threshold" in sys.argv:
+        threshold_study()
+        return
     for (n, B) in [(128, 256), (256, 64)]:
         s32, r32 = run(n, B, "float32")
         s16, r16 = run(n, B, "bfloat16")

@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "1"
+# Host-local persistent compile cache: repeat suite runs skip the XLA
+# compiles that dominate wall time on this 1-core host.  /tmp is safe
+# from the cross-host SIGILL hazard that keeps the cache opt-in
+# package-wide (see generative_physics_informed_pde_tpu/__init__.py).
+os.environ.setdefault("GPIPDE_COMPILE_CACHE", "/tmp/gpipde_test_cache")
 
 import jax  # noqa: E402
 

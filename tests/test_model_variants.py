@@ -2,6 +2,7 @@
 binary and homoscedastic decoders, param utilities."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -15,6 +16,7 @@ from generative_physics_informed_pde_tpu.utils import (
     count_parameters, global_norm, freeze_optimizer)
 
 
+@pytest.mark.slow
 def test_dense_ed_shapes():
     m = DenseED(out_channels=2, blocks=(1, 2, 1), growth_rate=4,
                 init_features=8)

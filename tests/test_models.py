@@ -152,6 +152,7 @@ def test_r2_matches_reference_semantics():
     assert 0.9 < r2 < 1.0
 
 
+@pytest.mark.slow
 def test_generative_model_elbo_gradients(physics):
     g = ReducedOrderModelOperator.from_physics(physics)
     dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
@@ -183,6 +184,7 @@ def test_generative_model_elbo_gradients(physics):
     assert float(jnp.abs(grads["g"]["logsigmas_y"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_elbo_multi_mc_samples(physics):
     """n_mc > 1 gives an unbiased lower-variance ELBO: with deterministic
     posteriors (logsigma -> -inf surrogate: tiny sigma) the S=1 and S=4

@@ -1,6 +1,7 @@
 """Multigrid preconditioner: exactness of solves, transfer operators."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def test_prolong_exact_for_linear():
     np.testing.assert_allclose(fine, 1 + 2 * xf - 0.5 * yf, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_mg_solver_matches_direct_high_contrast():
     phys = fem.LinearEllipticPhysics("fom", "NDP", fem.StructuredTriGrid(32, 32))
     rng = np.random.default_rng(1)
@@ -59,6 +61,7 @@ def test_mg_levels():
     assert mg2.num_levels == 1
 
 
+@pytest.mark.slow
 def test_bf16_vcycle_true_residual_high_contrast():
     """ADVICE r2: bf16 rounding makes the V-cycle application
     input-dependent, so standard PCG with recurrence-residual termination
@@ -95,6 +98,7 @@ def test_bf16_vcycle_true_residual_high_contrast():
     assert np.all(rel < 10 * tol), rel
 
 
+@pytest.mark.slow
 def test_mg_gradients_match_jacobi():
     phys = fem.LinearEllipticPhysics("fom", "ND", fem.StructuredTriGrid(32, 32))
     rng = np.random.default_rng(2)

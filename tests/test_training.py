@@ -89,6 +89,7 @@ def test_dataloader_roundtrip(tmp_path, small_loaders):
     assert dl2.hash == dl.hash
 
 
+@pytest.mark.slow
 def test_trainer_smoke(small_loaders, tmp_path):
     dl, dlu = small_loaders
     params = _params()
@@ -102,6 +103,27 @@ def test_trainer_smoke(small_loaders, tmp_path):
     # elbo should improve over the run
     elbos = tr._monitor["elbo"]
     assert len(elbos) >= 2 and elbos[-1] > elbos[0]
+    tr.finalize()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_trainer_micro_smoke(small_loaders, tmp_path):
+    """Fast end-to-end trainer coverage for the `-m "not slow"` gate:
+    a single SVI step (the n_steps==1 program, no scan compile) + the
+    final analysis eval — two compiled programs total.  The full
+    22-iteration smoke with its scan-10/scan-1/final-PE programs runs
+    under -m slow."""
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    params.trainer["N_monitor_interval"] = 0
+    params.trainer["N_PE_updates_final"] = 0
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    tr.run(1, verbose=False)
+    res = tr.results()
+    assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
     tr.finalize()
     assert (tmp_path / "metrics.jsonl").exists()
 
@@ -164,6 +186,7 @@ def test_trainer_energy_vo_end_to_end(small_loaders):
     assert np.all(np.isfinite(rel)) and rel.mean() < 0.30, rel
 
 
+@pytest.mark.slow
 def test_trainer_nonamortized_unsupervised(small_loaders):
     dl, dlu = small_loaders
     params = _params(armortized_bs=None)
@@ -205,6 +228,7 @@ def test_metrics_writer(tmp_path):
     w.close()
 
 
+@pytest.mark.slow
 def test_trainer_zero_unsupervised(small_loaders):
     """N_u=0 with a leftover 'unsupervised' chunk must cleanly disable the
     unsupervised ELBO term (regression: the amortized minibatch draw used
