@@ -15,13 +15,14 @@ TPU-native replacements for:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .assembly import StencilOperator
+from ..utils.backend import effective_platform
 
 
 # --------------------------------------------------------------------------
@@ -43,7 +44,8 @@ def stiffness_from_tensor(M: jnp.ndarray, alpha: jnp.ndarray,
 
 
 def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
-              bc_dofs: jnp.ndarray, max_chunk: int = 8192) -> jnp.ndarray:
+              bc_dofs: jnp.ndarray, max_chunk: Optional[int] = None
+              ) -> jnp.ndarray:
     """Differentiable batched coarse solve ``K(alpha) y = F``.
 
     alpha: (..., c) positive conductivities; F: (..., d) force vectors that
@@ -56,12 +58,26 @@ def rom_solve(M: jnp.ndarray, alpha: jnp.ndarray, F: jnp.ndarray,
     (torch.solve, ROM.py:59-61): measured 1.9-2.6x faster fwd+VJP on v5e
     at B>=2048 and -- unlike the LU path, whose triangular-solve kernel
     OOM'd scoped VMEM beyond ~128 systems -- it runs 8k+ systems in one
-    dispatch.  ``max_chunk`` only guards truly huge MC ensembles.
+    dispatch.
+
+    ``max_chunk`` defaults to 2048 on TPU and 8192 elsewhere.  The TPU
+    cap is a measured runtime fault boundary, NOT a throughput choice:
+    on the v5e runtime a program that feeds elementwise work (the
+    model's ``exp(effprop)``) into this dense-solve block crashes the
+    TPU worker outright for flat batches >= ~3072 (2048 is clean, 3072
+    and 4096 fault; a solve-only program at 4096 is fine, and the
+    ``optimization_barrier`` fence below does NOT prevent it).  Chunking
+    through ``lax.map`` at 2048 sidesteps the fault -- kept repro:
+    ``benchmarks/rom_fusion_repro.py``.  This was the cause of every
+    "first monitor eval kills the worker" crash in the 64^2 configs
+    (N_val x N_mc = 64 x 64 = 4096 flat solves).
     """
     # promote to one dtype up front: the scatter at the end
     # (out.at[FREE].set(yf)) must be same-dtype -- mixed f64/f32 inputs
     # (the x64 analysis path) used to downcast silently and will be a hard
     # error on future JAX (scatter dtype FutureWarning).
+    if max_chunk is None:
+        max_chunk = 2048 if effective_platform() == "tpu" else 8192
     dt = jnp.result_type(M.dtype, alpha.dtype, F.dtype)
     M = M.astype(dt)
     alpha = alpha.astype(dt)
