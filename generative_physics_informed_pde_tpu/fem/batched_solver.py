@@ -123,13 +123,15 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1
     if precond == "auto":
-        # multigrid pays off from ~128^2 upward; below that Jacobi is
-        # competitive and compiles much faster.  (A v5e runtime fault at
-        # 256^2 batch>8 was traced to XLA fusing the V-cycle into the CG
-        # body kernel; _batched_pcg now fences the preconditioner with
-        # optimization_barrier, so mg is safe at 256^2 -- see
-        # benchmarks/mg_repro.py.)
-        mg_ok = (grid.nx == grid.ny and grid.nx >= 128
+        # threshold measured on v5e (benchmarks/mg_bench.py --threshold,
+        # B=1024): 64^2 MG-PCG 24,817 solves/s vs Jacobi 9,178 (2.70x,
+        # true residual 1.6e-6 vs 6.4e-6) -> MG from 64^2 up; 32^2 is a
+        # wash (1.03x), so Jacobi keeps the faster compile there.  (A
+        # v5e runtime fault at 256^2 batch>8 was traced to XLA fusing
+        # the V-cycle into the CG body kernel; _batched_pcg now fences
+        # the preconditioner with optimization_barrier, so mg is safe at
+        # 256^2 -- see benchmarks/mg_repro.py.)
+        mg_ok = (grid.nx == grid.ny and grid.nx >= 64
                  and (grid.nx & (grid.nx - 1)) == 0)
         precond = "mg" if mg_ok else "jacobi"
     mg = None
