@@ -19,12 +19,14 @@
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from generative_physics_informed_pde_tpu.data import DataLoader
 from generative_physics_informed_pde_tpu.fem import GaussianRandomField
 from generative_physics_informed_pde_tpu.training import (
@@ -120,6 +122,28 @@ def config2e(iterations=1000):
     return _run(p, dl, dlu, iterations)
 
 
+def config2h(iterations=1000):
+    """Config-2's virtual-observable pipeline at the 'highres' 128^2
+    scale: the matrix-free constraint operator Gamma runs over 16,129
+    free dofs (vs 4,065 at 64^2).  Flushes out scale bugs in the
+    constraint-assembly path (reference VirtualObservables.py:57-69 at
+    the highres preset scale)."""
+    p = TrainerParameters()
+    p.identifier = "highres128"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=250,
+                     N_vo_holdoff=250, N_vo_update_interval=250,
+                     N_monte_carlo_vo=64)
+    p.scheduler = {"milestones": [iterations // 2], "factor": math.sqrt(0.1)}
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+                  N_vo=64, N_val=64, armortized_bs=32,
+                  vo_spec={"type": "constrain", "CGR": True, "flux": True,
+                           "N_gaussian": 8, "N_rbf": 8, "l_rbf": 0.2})
+    rf = GaussianRandomField.from_image(128, 128, 0.4, 0.8, 0.04,
+                                        method="fft")
+    dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
+    return _run(p, dl, dlu, iterations)
+
+
 def config3(iterations=600):
     """High-contrast Matern at 128^2 with 16 MC ELBO samples per step.
 
@@ -170,8 +194,8 @@ def config5():
                    check=True)
 
 
-CONFIGS = {"1": config1, "2": config2, "2e": config2e, "3": config3,
-           "4": config4, "5": config5}
+CONFIGS = {"1": config1, "2": config2, "2e": config2e, "2h": config2h,
+           "3": config3, "4": config4, "5": config5}
 
 
 if __name__ == "__main__":

@@ -11,10 +11,12 @@ Add --vo to enable virtual observables on 128 extra unlabeled fields.
 """
 
 import math
+import os
 import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from generative_physics_informed_pde_tpu.training import (TrainerParameters,
                                                           CreateTrainer)
 from generative_physics_informed_pde_tpu.factories.data import DataFactory

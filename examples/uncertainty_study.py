@@ -15,6 +15,7 @@ Run:  python examples/uncertainty_study.py [batch_per_case] [--mesh N]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -22,6 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from generative_physics_informed_pde_tpu import fem
 from generative_physics_informed_pde_tpu.fem import QOI
 from generative_physics_informed_pde_tpu.parallel import make_mesh

@@ -34,6 +34,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from generative_physics_informed_pde_tpu.data import DataLoader
 from generative_physics_informed_pde_tpu.fem import GaussianRandomField
 from generative_physics_informed_pde_tpu.training import (
