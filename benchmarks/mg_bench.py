@@ -39,7 +39,7 @@ def true_residual(fom, alphas, vals, Y):
     return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
 
 
-def run(n, B, precond_dtype, reps=3, precond="mg"):
+def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal"):
     phys = fem.make_fom_rom_pair("NDP", 8, 8, int(np.log2(n // 8)))
     fom = phys["fom"]
     assert fom.grid.nx == n, (fom.grid.nx, n)
@@ -48,8 +48,21 @@ def run(n, B, precond_dtype, reps=3, precond="mg"):
     solve = jax.jit(make_batched_fom_solver(
         fom.op, fom.profile, precond=precond, precond_dtype=precond_dtype))
     key = jax.random.PRNGKey(0)
-    alphas = jnp.exp(0.8 * jax.random.normal(
-        key, (B, fom.grid.n_cells), jnp.float32))
+    if fields == "matern":
+        # config-3's conductivity family: Matern-3/2, log-stddev 1.0 --
+        # per-batch contrast max/min ~1e4 (the regime the ADVICE review
+        # flagged as uncovered by the bf16 V-cycle parity evidence)
+        rf = fem.GaussianRandomField.from_image(
+            n, n, mean=0.4, stddev=1.0, corrlength=0.08, method="fft",
+            kernel="matern32")
+        x = rf.sample(key, batch_size=B, dtype=jnp.float32)
+        conv = fem.PixelConverter(fom.grid)
+        alphas = jnp.exp(conv.image_to_function(x))
+        contrast = float(jnp.max(jnp.exp(x)) / jnp.min(jnp.exp(x)))
+        print(f"    matern fields: contrast {contrast:.1e}", flush=True)
+    else:
+        alphas = jnp.exp(0.8 * jax.random.normal(
+            key, (B, fom.grid.n_cells), jnp.float32))
     theta = jax.random.uniform(key, (B, 4), minval=-0.5, maxval=0.5)
     vals = fom.profile.constrained_values(theta).astype(jnp.float32)
     Y = solve(alphas, vals)
@@ -78,10 +91,28 @@ def threshold_study():
               f"residuals {rj:.1e} vs {rm:.1e})", flush=True)
 
 
+def contrast_study():
+    """ADVICE r2: the bf16 V-cycle parity evidence covered only benign
+    lognormal alphas; a rounded (input-dependent) preconditioner under
+    standard PCG with recurrence-residual termination could silently
+    under-converge on high-contrast fields.  Verify the TRUE residual on
+    config-3's Matern-3/2 stddev-1.0 fields, f32 vs bf16 V-cycle."""
+    for (n, B) in [(64, 512), (128, 128)]:
+        s32, r32 = run(n, B, "float32", fields="matern")
+        s16, r16 = run(n, B, "bfloat16", fields="matern")
+        ok = r16 < 3e-5  # ~10x the 2e-6 recurrence tol is the alarm line
+        print(f"  -> {n}^2 matern: bf16 true residual {r16:.1e} vs f32 "
+              f"{r32:.1e}  [{'OK' if ok else 'UNDER-CONVERGED'}]",
+              flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     if "--threshold" in sys.argv:
         threshold_study()
+        return
+    if "--contrast" in sys.argv:
+        contrast_study()
         return
     for (n, B) in [(128, 256), (256, 64)]:
         s32, r32 = run(n, B, "float32")

@@ -98,10 +98,12 @@ class MultigridPreconditioner:
     nu_coarse: int = 24
     omega: float = 0.8
     # Preconditioner-internal dtype.  The V-cycle only preconditions CG --
-    # its rounding perturbs the (fixed, SPD) preconditioning operator, not
-    # the solution -- so bfloat16 halves the smoother HBM traffic (the
-    # dominant cost at 128^2+) at identical final accuracy.  Measured on
-    # v5e: see PARITY.md (multigrid section).
+    # its rounding perturbs the preconditioning operator (strictly, makes
+    # it weakly input-dependent), not the solution -- so bfloat16 halves
+    # the smoother HBM traffic (the dominant cost at 128^2+).  TRUE
+    # residuals verified identical to the f32 V-cycle on both benign
+    # lognormal and high-contrast (1.8e4:1 Matern) fields on v5e:
+    # PARITY.md (multigrid section), benchmarks/mg_bench.py --contrast.
     dtype: str = "float32"
 
     @classmethod
