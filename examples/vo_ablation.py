@@ -16,11 +16,14 @@ in every arm so the validation fields are the same 64 samples):
 
 If (b)/(c) do not beat (a) on posterior-predictive rel-L2 / r2 /
 logscore, the semi-supervised machinery does not earn its keep
-(reference thesis: readme.md:3-8).
+(reference thesis: readme.md:3-8).  Virtual observables substitute for
+LABELS, so their value concentrates where labels are scarce -- ``--ns N``
+sweeps the labeled budget (default 64; at N_s=64 the 64 labels already
+saturate this model and VO has no headroom, see PARITY.md).
 
-    python examples/vo_ablation.py [iterations] [arm]
+    python examples/vo_ablation.py [iterations] [arm] [--ns N]
 
-Default runs all three arms sequentially and writes
+Default runs all three arms sequentially and appends to
 results/vo_ablation.json plus a summary table.
 """
 
@@ -41,7 +44,7 @@ from generative_physics_informed_pde_tpu.training import (
     TrainerParameters, CreateTrainerFromPermutation)
 
 
-def _params(iterations: int, arm: str) -> TrainerParameters:
+def _params(iterations: int, arm: str, n_s: int) -> TrainerParameters:
     p = TrainerParameters()
     p.identifier = "highres"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
@@ -49,7 +52,7 @@ def _params(iterations: int, arm: str) -> TrainerParameters:
                    "factor": math.sqrt(0.1)}
     # N_vo_max=64 in EVERY arm: the vo partition slot stays reserved so
     # supervised/validation index into identical fields across arms.
-    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+    p.data.update(N_u=1024, N_s=n_s, N_u_max=1024, N_s_max=n_s, N_vo_max=64,
                   N_val=64, armortized_bs=64)
     if arm == "labels":
         p.data.update(N_vo=0, vo_spec={})
@@ -73,14 +76,14 @@ def _params(iterations: int, arm: str) -> TrainerParameters:
     return p
 
 
-def run_arm(arm: str, iterations: int) -> dict:
+def run_arm(arm: str, iterations: int, n_s: int = 64) -> dict:
     # fresh loaders per arm, SAME keys -> identical fields and labels
     rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
-    dl = DataLoader.from_sampler(rf, 64 + 64 + 64, key=0)
+    dl = DataLoader.from_sampler(rf, n_s + 64 + 64, key=0)
     dlu = DataLoader.from_sampler(rf, 1024, key=1)
     dlu.lock_physics_assembly()
 
-    p = _params(iterations, arm)
+    p = _params(iterations, arm, n_s)
     t0 = time.time()
     tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
                                       permutation_u=np.arange(dlu.N),
@@ -90,29 +93,37 @@ def run_arm(arm: str, iterations: int) -> dict:
     tr.run(iterations, verbose=True)
     dt = time.time() - t0
     out = dict(tr.results())
-    out.update(arm=arm, iterations=iterations, steps_per_sec=iterations / dt)
+    out.update(arm=arm, iterations=iterations, N_s=n_s,
+               steps_per_sec=iterations / dt)
     print(f"[{arm}] {iterations} iters in {dt:.1f}s "
           f"({out['steps_per_sec']:.2f} steps/s): {out}", flush=True)
     return out
 
 
 def main():
+    n_s = 64
+    if "--ns" in sys.argv:
+        i = sys.argv.index("--ns")
+        n_s = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     arms = [sys.argv[2]] if len(sys.argv) > 2 else ["labels", "constrain",
                                                     "energy"]
     results = []
     path = "results/vo_ablation.json"
-    if os.path.exists(path) and len(sys.argv) > 2:
-        results = json.load(open(path))  # accumulate single-arm runs
+    if os.path.exists(path):
+        results = json.load(open(path))  # accumulate across runs
     for arm in arms:
-        results = [r for r in results if r["arm"] != arm]
-        results.append(run_arm(arm, iterations))
+        results = [r for r in results
+                   if not (r["arm"] == arm and r.get("N_s", 64) == n_s)]
+        results.append(run_arm(arm, iterations, n_s))
         os.makedirs("results", exist_ok=True)
         json.dump(results, open(path, "w"), indent=1)
-    print(f"\n{'arm':<10} {'rel-L2':>8} {'r2_y':>8} {'logscore':>9}")
-    for r in results:
-        print(f"{r['arm']:<10} {r['relerr_y']:>8.4f} {r['r2_y']:>8.4f} "
-              f"{r['logscore_y']:>9.3f}")
+    print(f"\n{'arm':<10} {'N_s':>4} {'rel-L2':>8} {'r2_y':>8} "
+          f"{'logscore':>9}")
+    for r in sorted(results, key=lambda r: (r.get("N_s", 64), r["arm"])):
+        print(f"{r['arm']:<10} {r.get('N_s', 64):>4} {r['relerr_y']:>8.4f} "
+              f"{r['r2_y']:>8.4f} {r['logscore_y']:>9.3f}")
 
 
 if __name__ == "__main__":
