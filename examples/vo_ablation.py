@@ -44,7 +44,8 @@ from generative_physics_informed_pde_tpu.training import (
     TrainerParameters, CreateTrainerFromPermutation)
 
 
-def _params(iterations: int, arm: str, n_s: int) -> TrainerParameters:
+def _params(iterations: int, arm: str, n_s: int,
+            vo_cadence: int | None = None) -> TrainerParameters:
     p = TrainerParameters()
     p.identifier = "highres"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
@@ -57,7 +58,8 @@ def _params(iterations: int, arm: str, n_s: int) -> TrainerParameters:
     if arm == "labels":
         p.data.update(N_vo=0, vo_spec={})
     elif arm == "constrain":
-        p.trainer.update(N_vo_holdoff=250, N_vo_update_interval=250,
+        c = vo_cadence or 250
+        p.trainer.update(N_vo_holdoff=c, N_vo_update_interval=c,
                          N_monte_carlo_vo=64)
         p.data.update(N_vo=64,
                       vo_spec={"type": "constrain", "CGR": True,
@@ -76,14 +78,15 @@ def _params(iterations: int, arm: str, n_s: int) -> TrainerParameters:
     return p
 
 
-def run_arm(arm: str, iterations: int, n_s: int = 64) -> dict:
+def run_arm(arm: str, iterations: int, n_s: int = 64,
+            vo_cadence: int | None = None) -> dict:
     # fresh loaders per arm, SAME keys -> identical fields and labels
     rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
     dl = DataLoader.from_sampler(rf, n_s + 64 + 64, key=0)
     dlu = DataLoader.from_sampler(rf, 1024, key=1)
     dlu.lock_physics_assembly()
 
-    p = _params(iterations, arm, n_s)
+    p = _params(iterations, arm, n_s, vo_cadence)
     t0 = time.time()
     tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
                                       permutation_u=np.arange(dlu.N),
@@ -95,6 +98,9 @@ def run_arm(arm: str, iterations: int, n_s: int = 64) -> dict:
     out = dict(tr.results())
     out.update(arm=arm, iterations=iterations, N_s=n_s,
                steps_per_sec=iterations / dt)
+    if vo_cadence:
+        out["vo_cadence"] = vo_cadence
+        out["arm"] = f"{arm}@{vo_cadence}"
     print(f"[{arm}] {iterations} iters in {dt:.1f}s "
           f"({out['steps_per_sec']:.2f} steps/s): {out}", flush=True)
     return out
@@ -106,6 +112,11 @@ def main():
         i = sys.argv.index("--ns")
         n_s = int(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    vo_cadence = None
+    if "--cadence" in sys.argv:  # constrain-arm holdoff + update interval
+        i = sys.argv.index("--cadence")
+        vo_cadence = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     arms = [sys.argv[2]] if len(sys.argv) > 2 else ["labels", "constrain",
                                                     "energy"]
@@ -114,9 +125,10 @@ def main():
     if os.path.exists(path):
         results = json.load(open(path))  # accumulate across runs
     for arm in arms:
+        tag = f"{arm}@{vo_cadence}" if vo_cadence else arm
         results = [r for r in results
-                   if not (r["arm"] == arm and r.get("N_s", 64) == n_s)]
-        results.append(run_arm(arm, iterations, n_s))
+                   if not (r["arm"] == tag and r.get("N_s", 64) == n_s)]
+        results.append(run_arm(arm, iterations, n_s, vo_cadence))
         os.makedirs("results", exist_ok=True)
         json.dump(results, open(path, "w"), indent=1)
     print(f"\n{'arm':<10} {'N_s':>4} {'rel-L2':>8} {'r2_y':>8} "
