@@ -79,9 +79,10 @@ def _params(iterations: int, arm: str, n_s: int,
 
 
 def run_arm(arm: str, iterations: int, n_s: int = 64,
-            vo_cadence: int | None = None) -> dict:
+            vo_cadence: int | None = None, corrlength: float = 0.04) -> dict:
     # fresh loaders per arm, SAME keys -> identical fields and labels
-    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
+    rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, corrlength,
+                                        method="fft")
     dl = DataLoader.from_sampler(rf, n_s + 64 + 64, key=0)
     dlu = DataLoader.from_sampler(rf, 1024, key=1)
     dlu.lock_physics_assembly()
@@ -101,6 +102,9 @@ def run_arm(arm: str, iterations: int, n_s: int = 64,
     if vo_cadence:
         out["vo_cadence"] = vo_cadence
         out["arm"] = f"{arm}@{vo_cadence}"
+    if corrlength != 0.04:
+        out["corrlength"] = corrlength
+        out["arm"] = f"{out['arm']}/l{corrlength}"
     print(f"[{arm}] {iterations} iters in {dt:.1f}s "
           f"({out['steps_per_sec']:.2f} steps/s): {out}", flush=True)
     return out
@@ -117,6 +121,11 @@ def main():
         i = sys.argv.index("--cadence")
         vo_cadence = int(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    corrlength = 0.04
+    if "--corrlength" in sys.argv:  # 0.15 makes r2_y informative
+        i = sys.argv.index("--corrlength")
+        corrlength = float(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     arms = [sys.argv[2]] if len(sys.argv) > 2 else ["labels", "constrain",
                                                     "energy"]
@@ -126,9 +135,11 @@ def main():
         results = json.load(open(path))  # accumulate across runs
     for arm in arms:
         tag = f"{arm}@{vo_cadence}" if vo_cadence else arm
+        if corrlength != 0.04:
+            tag = f"{tag}/l{corrlength}"
         results = [r for r in results
                    if not (r["arm"] == tag and r.get("N_s", 64) == n_s)]
-        results.append(run_arm(arm, iterations, n_s, vo_cadence))
+        results.append(run_arm(arm, iterations, n_s, vo_cadence, corrlength))
         os.makedirs("results", exist_ok=True)
         json.dump(results, open(path, "w"), indent=1)
     print(f"\n{'arm':<10} {'N_s':>4} {'rel-L2':>8} {'r2_y':>8} "
