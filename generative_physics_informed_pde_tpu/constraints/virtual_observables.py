@@ -407,9 +407,53 @@ class VirtualObservablesEnsemble:
         eps = jnp.asarray(1e-10 if self.dtype == jnp.float64 else 1e-6,
                           dtype=self.dtype)
         vo_var = self.vo_variances + eps
-        mean, vars_ = condition_ensemble(
-            self._Gamma, self._alpha, G.astype(self.dtype),
-            PREC.astype(self.dtype), vo_var)
+        G = G.astype(self.dtype)
+        PREC = PREC.astype(self.dtype)
+        mean, vars_ = condition_ensemble(self._Gamma, self._alpha, G,
+                                         PREC, vo_var)
+        # failure containment: a per-sample Cholesky breakdown (non-finite
+        # conditioning output, or a non-finite model prior) must not poison
+        # the ensemble -- the NaN would propagate through the next
+        # gamma_precision_beta into EVERY sample's vo_variances and from
+        # there into the ELBO.  Fall back to the prior moments for the
+        # failed samples and say so loudly.
+        bad = ~(jnp.isfinite(mean).all(axis=1) & jnp.isfinite(vars_).all(axis=1))
+        n_bad = int(bad.sum())
+        if n_bad:
+            import os, warnings
+            bad_in = ~(jnp.isfinite(G).all(axis=1)
+                       & jnp.isfinite(PREC).all(axis=1))
+            warnings.warn(
+                f"VO conditioning produced non-finite moments for {n_bad}/"
+                f"{self.N} samples at iteration {iteration} "
+                f"({int(bad_in.sum())} had a non-finite model prior); "
+                "falling back to the prior/previous moments for those "
+                "samples (set GPIPDE_VO_DUMP=<path> to capture the inputs)")
+            dump = os.environ.get("GPIPDE_VO_DUMP")
+            if dump:
+                np.savez(dump, Gamma=np.asarray(self._Gamma),
+                         alpha=np.asarray(self._alpha), G=np.asarray(G),
+                         PREC=np.asarray(PREC),
+                         vo_var=np.asarray(vo_var),
+                         bad=np.asarray(bad), iteration=iteration)
+            # best finite stand-in per sample: the prior moments, unless the
+            # prior itself is non-finite and previous VO moments exist
+            fb_mean, fb_vars = G, 1.0 / PREC
+            if self._mean is not None:
+                fb_mean = jnp.where(bad_in[:, None], self._mean, fb_mean)
+                fb_vars = jnp.where(bad_in[:, None], self._vars, fb_vars)
+            mean = jnp.where(bad[:, None], fb_mean, mean)
+            vars_ = jnp.where(bad[:, None], fb_vars, vars_)
+            # the fallback itself can be poisoned (first update with a
+            # non-finite prior): stored moments MUST be finite, or the next
+            # gamma_precision_beta re-poisons every sample.  Neutral stand-in:
+            # zero mean with a huge variance (an uninformative pseudo-label).
+            mean = jnp.nan_to_num(mean)
+            vars_ = jnp.where(jnp.isfinite(vars_), vars_,
+                              jnp.asarray(1e6, dtype=vars_.dtype))
+        if writer is not None and n_bad:
+            writer.add_scalar("Monitor/VO_conditioning_failures", n_bad,
+                              global_step=iteration)
         self._mean = mean
         self._vars = jnp.maximum(vars_, 1e-12)
 

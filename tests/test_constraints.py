@@ -134,6 +134,43 @@ def test_conditioning_matches_dense_bayes(setup):
                                rtol=1e-6, atol=1e-9)
 
 
+def test_conditioning_failure_containment(setup):
+    """A per-sample conditioning failure (non-finite model prior here) must
+    not poison the other samples' moments, and the next update must fall
+    back to the previous finite moments for the still-bad sample."""
+    physics, qpe, Y, _ = setup
+    rng = np.random.default_rng(7)
+    sampler = GaussianSketchingSampler(N_aux=6)
+    vo = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    d = qpe.dim_out
+    G = jnp.asarray(rng.normal(size=(qpe.N, d)))
+    PREC = jnp.asarray(rng.uniform(1.0, 3.0, (qpe.N, d)))
+
+    # clean reference update
+    vo.update(G, PREC, 0)
+    mean_ref, vars_ref = vo.mean, vo.vars
+
+    # sample 1's prior is poisoned -> its conditioning output is NaN
+    G_bad = G.at[1, 0].set(jnp.nan)
+    vo2 = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    with pytest.warns(UserWarning, match="non-finite moments for 1/"):
+        vo2.update(G_bad, PREC, 0)
+    assert bool(jnp.isfinite(vo2.mean).all() & jnp.isfinite(vo2.vars).all())
+    # untouched samples match the clean run exactly
+    np.testing.assert_array_equal(np.asarray(vo2.mean)[[0, 2]],
+                                  np.asarray(mean_ref)[[0, 2]])
+    # first update has no previous moments: fallback is the prior with the
+    # poisoned entries sanitised (0 mean, finite variance)
+    assert float(vo2.mean[1, 0]) == 0.0
+
+    # second update, still-bad prior: falls back to the PREVIOUS moments
+    with pytest.warns(UserWarning, match="non-finite model prior"):
+        vo2.update(G_bad, PREC, 1)
+    assert bool(jnp.isfinite(vo2.mean).all() & jnp.isfinite(vo2.vars).all())
+    # and the precision update stayed finite despite the bad sample
+    assert bool(jnp.isfinite(vo2.vo_variances).all())
+
+
 def test_conditioning_pulls_towards_solution(setup):
     """Conditioning a poor prior on exact CGR+Gaussian constraints must
     reduce the error vs the true solution."""
