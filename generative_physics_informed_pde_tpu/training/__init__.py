@@ -2,7 +2,8 @@
 
 from .trainer import (Trainer, TrainerParameters, TrainState, CreateTrainer,
                       CreateTrainerFromPermutation,
-                      CreateDataSetsFromPermutation, DEFAULT_CONFIG)
+                      CreateDataSetsFromPermutation, DEFAULT_CONFIG,
+                      TrainingDivergedError)
 from .schedules import (make_schedule, multistep_lr, step_lr, constant_lr,
                         PlateauController)
 from .metrics import MetricsWriter
@@ -12,7 +13,8 @@ from .checkpoint import (save_train_state, restore_train_state,
 __all__ = [
     "Trainer", "TrainerParameters", "TrainState", "CreateTrainer",
     "CreateTrainerFromPermutation", "CreateDataSetsFromPermutation",
-    "DEFAULT_CONFIG", "make_schedule", "multistep_lr", "step_lr",
+    "DEFAULT_CONFIG", "TrainingDivergedError", "make_schedule",
+    "multistep_lr", "step_lr",
     "constant_lr", "PlateauController", "MetricsWriter",
     "save_train_state", "restore_train_state", "save_encoder_decoder",
     "restore_encoder_decoder",

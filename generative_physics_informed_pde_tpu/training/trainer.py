@@ -47,6 +47,10 @@ DEFAULT_CONFIG = dict(
     N_monte_carlo_vo=128,
     N_monte_carlo_elbo=1,  # MC ELBO samples/step (config-3 extension)
     MonitorTraining=True,
+    # fail fast on divergence: a NaN ELBO never recovers, and unattended
+    # long runs otherwise burn hours stepping on NaNs (beyond the
+    # reference, which has no such guard)
+    halt_on_divergence=True,
 )
 
 # allowed fused-scan lengths: keeps the number of distinct compilations of
@@ -63,6 +67,10 @@ DEBUG_CONFIG = dict(
     N_monte_carlo_vo=16,
     N_tensorboard_logging_interval=1,
 )
+
+
+class TrainingDivergedError(RuntimeError):
+    """Raised at a monitor point when the ELBO has gone non-finite."""
 
 
 class TrainerParameters:
@@ -560,6 +568,12 @@ class Trainer:
             self._global_iteration_counter += chunk
 
             if mi > 0 and n_last % mi == 0 and n_last > 0:
+                if (not np.isfinite(float(last_elbo))
+                        and self.get("halt_on_divergence")):
+                    raise TrainingDivergedError(
+                        f"non-finite ELBO at iteration {n_last} -- training "
+                        "diverged (set trainer config halt_on_divergence="
+                        "False to keep stepping anyway)")
                 if self._plateau is not None:
                     # rebuild the opt state functionally: the state pytree
                     # is donated to the jitted step, so in-place mutation

@@ -128,6 +128,26 @@ def test_trainer_micro_smoke(small_loaders, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_trainer_halts_on_divergence(small_loaders, tmp_path):
+    """A non-finite ELBO at a monitor point raises TrainingDivergedError
+    instead of silently stepping on NaNs for the rest of a long run."""
+    from generative_physics_informed_pde_tpu.training import (
+        TrainingDivergedError)
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    params.trainer["N_PE_updates_final"] = 0
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    tr.state = tr.state.replace(params=jax.tree_util.tree_map(
+        lambda x: x * jnp.nan, tr.state.params))
+    # debug shadow pins N_monitor_interval=5: the first monitor point (and
+    # the guard) fires after executing iteration 5
+    with pytest.raises(TrainingDivergedError, match="iteration 5"):
+        tr.run(6, verbose=False)
+
+
 @pytest.mark.slow
 def test_trainer_with_virtual_observables(small_loaders):
     dl, dlu = small_loaders
