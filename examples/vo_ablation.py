@@ -45,7 +45,8 @@ from generative_physics_informed_pde_tpu.training import (
 
 
 def _params(iterations: int, arm: str, n_s: int,
-            vo_cadence: int | None = None) -> TrainerParameters:
+            vo_cadence: int | None = None,
+            temper: float = 1.0) -> TrainerParameters:
     p = TrainerParameters()
     p.identifier = "highres"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
@@ -64,7 +65,8 @@ def _params(iterations: int, arm: str, n_s: int,
         p.data.update(N_vo=64,
                       vo_spec={"type": "constrain", "CGR": True,
                                "flux": True, "N_gaussian": 8, "N_rbf": 8,
-                               "l_rbf": 0.2})
+                               "l_rbf": 0.2,
+                               "prior_precision_factor": temper})
     elif arm == "energy":
         p.trainer.update(N_vo_holdoff=50, N_vo_update_interval=10,
                          N_monte_carlo_vo=64)
@@ -79,7 +81,8 @@ def _params(iterations: int, arm: str, n_s: int,
 
 
 def run_arm(arm: str, iterations: int, n_s: int = 64,
-            vo_cadence: int | None = None, corrlength: float = 0.04) -> dict:
+            vo_cadence: int | None = None, corrlength: float = 0.04,
+            temper: float = 1.0) -> dict:
     # fresh loaders per arm, SAME keys -> identical fields and labels
     rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, corrlength,
                                         method="fft")
@@ -87,7 +90,7 @@ def run_arm(arm: str, iterations: int, n_s: int = 64,
     dlu = DataLoader.from_sampler(rf, 1024, key=1)
     dlu.lock_physics_assembly()
 
-    p = _params(iterations, arm, n_s, vo_cadence)
+    p = _params(iterations, arm, n_s, vo_cadence, temper)
     t0 = time.time()
     tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
                                       permutation_u=np.arange(dlu.N),
@@ -102,6 +105,9 @@ def run_arm(arm: str, iterations: int, n_s: int = 64,
     if vo_cadence:
         out["vo_cadence"] = vo_cadence
         out["arm"] = f"{arm}@{vo_cadence}"
+    if temper != 1.0:
+        out["temper"] = temper
+        out["arm"] = f"{out['arm']}*t{temper}"
     if corrlength != 0.04:
         out["corrlength"] = corrlength
         out["arm"] = f"{out['arm']}/l{corrlength}"
@@ -126,6 +132,11 @@ def main():
         i = sys.argv.index("--corrlength")
         corrlength = float(sys.argv[i + 1])
         del sys.argv[i:i + 2]
+    temper = 1.0
+    if "--temper" in sys.argv:  # constrain-arm prior tempering (<1)
+        i = sys.argv.index("--temper")
+        temper = float(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
     iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     arms = [sys.argv[2]] if len(sys.argv) > 2 else ["labels", "constrain",
                                                     "energy"]
@@ -135,17 +146,20 @@ def main():
         results = json.load(open(path))  # accumulate across runs
     for arm in arms:
         tag = f"{arm}@{vo_cadence}" if vo_cadence else arm
+        if temper != 1.0:
+            tag = f"{tag}*t{temper}"
         if corrlength != 0.04:
             tag = f"{tag}/l{corrlength}"
         results = [r for r in results
                    if not (r["arm"] == tag and r.get("N_s", 64) == n_s)]
-        results.append(run_arm(arm, iterations, n_s, vo_cadence, corrlength))
+        results.append(run_arm(arm, iterations, n_s, vo_cadence, corrlength,
+                               temper))
         os.makedirs("results", exist_ok=True)
         json.dump(results, open(path, "w"), indent=1)
-    print(f"\n{'arm':<10} {'N_s':>4} {'rel-L2':>8} {'r2_y':>8} "
+    print(f"\n{'arm':<18} {'N_s':>4} {'rel-L2':>8} {'r2_y':>8} "
           f"{'logscore':>9}")
     for r in sorted(results, key=lambda r: (r.get("N_s", 64), r["arm"])):
-        print(f"{r['arm']:<10} {r.get('N_s', 64):>4} {r['relerr_y']:>8.4f} "
+        print(f"{r['arm']:<18} {r.get('N_s', 64):>4} {r['relerr_y']:>8.4f} "
               f"{r['r2_y']:>8.4f} {r['logscore_y']:>9.3f}")
 
 

@@ -310,10 +310,17 @@ class VirtualObservablesEnsemble:
     BETA_0 = 1e-6
 
     def __init__(self, qpe: QuerryPointEnsemble, sampler: BaseSampler,
-                 dtype=None):
+                 dtype=None, prior_precision_factor: float = 1.0):
         self.qpe = qpe
         self.sampler = sampler
         self.dtype = dtype or qpe.X_DG.dtype
+        # prior tempering (beyond the reference): conditioning with the raw
+        # model precision anchors training to the model's own stale
+        # predictions in the unconstrained directions (the VO-ablation
+        # staleness diagnosis, PARITY.md).  A factor < 1 inflates the prior
+        # variance before conditioning, so the virtual posterior keeps the
+        # constraint information but carries less self-distillation weight.
+        self.prior_precision_factor = float(prior_precision_factor)
         self._Gamma = None
         self._alpha = None
         self._mean = None
@@ -409,6 +416,8 @@ class VirtualObservablesEnsemble:
         vo_var = self.vo_variances + eps
         G = G.astype(self.dtype)
         PREC = PREC.astype(self.dtype)
+        if self.prior_precision_factor != 1.0:
+            PREC = PREC * self.prior_precision_factor
         mean, vars_ = condition_ensemble(self._Gamma, self._alpha, G,
                                          PREC, vo_var)
         # failure containment: a per-sample Cholesky breakdown (non-finite
@@ -701,6 +710,8 @@ def build_virtual_observables_ensemble(vo_spec: dict, dataset_vo, physics,
             raise ValueError("vo_spec selected no samplers")
         sampler = samplers[0] if len(samplers) == 1 \
             else ConcatenatedSamplers(samplers)
-        return VirtualObservablesEnsemble(qpe, sampler, dtype=dtype)
+        return VirtualObservablesEnsemble(
+            qpe, sampler, dtype=dtype,
+            prior_precision_factor=vo_spec.get("prior_precision_factor", 1.0))
 
     raise ValueError(f"Type: {vo_spec['type']} not known as specification.")

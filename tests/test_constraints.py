@@ -197,6 +197,34 @@ def test_conditioning_pulls_towards_solution(setup):
     assert r_post.max() < 1e-3 * r_prior.max()
 
 
+def test_prior_tempering(setup):
+    """prior_precision_factor < 1 must keep the exact constraints satisfied
+    while inflating the posterior variance (weaker self-distillation anchor
+    in the unconstrained directions)."""
+    physics, qpe, Y, _ = setup
+    rng = np.random.default_rng(11)
+    sampler = CoarseGrainedResidualSampler(W=physics["W"])
+    vo_ref = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    vo_tmp = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64,
+                                        prior_precision_factor=0.1)
+    G = Y + jnp.asarray(rng.normal(0, 0.3, Y.shape))
+    PREC = jnp.full(Y.shape, 1.0 / 0.3 ** 2)
+    vo_ref.update(G, PREC, 0)
+    vo_tmp.update(G, PREC, 0)
+    # exact (infinite-precision) constraints still hold for the tempered
+    # posterior mean
+    r_tmp = _residual(vo_tmp.Gamma, vo_tmp.alpha, vo_tmp.mean)
+    r_prior = _residual(vo_tmp.Gamma, vo_tmp.alpha, G)
+    assert r_tmp.max() < 1e-3 * r_prior.max()
+    # posterior variance is uniformly >= the untempered one
+    assert bool(jnp.all(vo_tmp.vars >= vo_ref.vars - 1e-12))
+    # and matches conditioning with the scaled precision exactly
+    vo_chk = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    vo_chk.update(G, 0.1 * PREC, 0)
+    np.testing.assert_allclose(np.asarray(vo_tmp.mean),
+                               np.asarray(vo_chk.mean), rtol=1e-12)
+
+
 def test_precision_learning_formula(setup):
     physics, qpe, Y, _ = setup
     op = FluxConstraintOperator(coarse=physics["rom"].grid,
