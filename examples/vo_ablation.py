@@ -22,6 +22,11 @@ sweeps the labeled budget (default 64; at N_s=64 the 64 labels already
 saturate this model and VO has no headroom, see PARITY.md).
 
     python examples/vo_ablation.py [iterations] [arm] [--ns N]
+        [--cadence C]      constrain-arm VO holdoff + update interval
+        [--corrlength L]   field correlation length (0.15 makes r2_y
+                           informative; default 0.04 = config-2)
+        [--temper F]       constrain-arm prior_precision_factor (<1
+                           weakens the stale self-distillation anchor)
 
 Default runs all three arms sequentially and appends to
 results/vo_ablation.json plus a summary table.
