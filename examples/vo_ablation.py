@@ -19,7 +19,10 @@ logscore, the semi-supervised machinery does not earn its keep
 (reference thesis: readme.md:3-8).  Virtual observables substitute for
 LABELS, so their value concentrates where labels are scarce -- ``--ns N``
 sweeps the labeled budget (default 64; at N_s=64 the 64 labels already
-saturate this model and VO has no headroom, see PARITY.md).
+saturate this model and VO has no headroom, see PARITY.md).  ``--ns 0``
+is the ZERO-LABEL regime (the strongest form of the thesis: readme.md
+promises training with 'little or NO labeled data') -- the labels arm
+then has no y-information at all and serves as the untrained-gp control.
 
     python examples/vo_ablation.py [iterations] [arm] [--ns N]
         [--cadence C]      constrain-arm VO holdoff + update interval

@@ -22,8 +22,11 @@ Architectural differences from the reference:
   free node coordinates (:172-228, replacing ``df.interpolate``), and the
   structured-grid flux constraints (constraints/flux.py).
 * float64 conditioning when x64 is enabled (reference forces torch.double,
-  :419-420); on TPU the f32 path keeps the Cholesky well-scaled via the
-  learnable constraint-noise floor.
+  :419-420); on TPU the f32 path keeps the Cholesky well-scaled via
+  Jacobi equilibration of the Schur system + a relative diagonal jitter
+  and a HIGHEST-precision einsum (see _condition_single -- an absolute
+  jitter is a no-op against the 6-decade diagonal spread measured in
+  benchmarks/vo_nan_analyze.py).
 """
 
 from __future__ import annotations
@@ -262,33 +265,53 @@ class ConcatenatedSamplers(BaseSampler):
 # Linear-Gaussian conditioning (the VO update)
 # ---------------------------------------------------------------------------
 
-def _condition_single(Gamma, alpha, g, prec, vo_variances):
+def _condition_single(Gamma, alpha, g, prec, vo_variances, eps):
     """Exact linear-Gaussian conditioning for one sample
     (reference: VirtualObservables.py:642-669).
 
     Prior y ~ N(g, diag(1/prec)); observe Gamma y = alpha + eps,
     eps ~ N(0, diag(vo_variances)).  Returns posterior (mean, vars-diagonal).
+
+    Numerics (the reference forces float64 here, VirtualObservables.py:419;
+    this implementation must also survive the f32 TPU path): the Schur
+    matrix ``Lam = Gamma cov Gamma^T + diag(vo_var)`` mixes constraint
+    families whose rows differ by orders of magnitude (a cadence-50 VO dump
+    measured diag spanning [0.9, 7e5], cond 4e10 -- benchmarks/
+    vo_nan_analyze.py), so it is Jacobi-equilibrated before the Cholesky:
+    ``Lam_s = D^-1/2 Lam D^-1/2`` has unit diagonal, and ``eps`` acts as a
+    RELATIVE per-constraint jitter in the scaled space (an absolute floor
+    on vo_var is a no-op against a 7e5 diagonal).  The einsum runs at
+    HIGHEST precision: TPU f32 matmuls otherwise accumulate through
+    bf16-product passes, which is what broke factorisations that f32 CPU
+    replays of the same inputs survive.
     """
     cov = 1.0 / prec
-    Lam = jnp.einsum("id,d,sd->is", Gamma, cov, Gamma)
+    Lam = jnp.einsum("id,d,sd->is", Gamma, cov, Gamma,
+                     precision=jax.lax.Precision.HIGHEST)
     Lam = Lam + jnp.diag(vo_variances)
-    L = jnp.linalg.cholesky(Lam)
-    resid = Gamma @ g - alpha
-    solvec = jax.scipy.linalg.cho_solve((L, True), resid)
+    d = jnp.sqrt(jnp.diagonal(Lam))
+    d = jnp.where(d > 0, d, jnp.ones_like(d))
+    Lam_s = Lam / d[:, None] / d[None, :]
+    Lam_s = Lam_s + eps * jnp.eye(Lam.shape[0], dtype=Lam.dtype)
+    L = jnp.linalg.cholesky(Lam_s)
+    resid = (Gamma @ g - alpha) / d
+    solvec = jax.scipy.linalg.cho_solve((L, True), resid) / d
     mean = g - cov * (Gamma.T @ solvec)
     A = Gamma * cov[None, :]                      # (m, d)
-    AL = jax.scipy.linalg.solve_triangular(L, A, lower=True)
+    AL = jax.scipy.linalg.solve_triangular(L, A / d[:, None], lower=True)
     post_sub = jnp.sum(AL * AL, axis=0)
     vars_ = cov - post_sub
     return mean, vars_
 
 
-@partial(jax.jit, donate_argnums=())
-def condition_ensemble(Gamma, alpha, G, PREC, vo_variances):
+@partial(jax.jit, donate_argnums=(), static_argnames=())
+def condition_ensemble(Gamma, alpha, G, PREC, vo_variances, eps=0.0):
     """vmapped conditioning over the ensemble: Gamma (N, m, d), alpha
-    (N, m), G/PREC (N, d), vo_variances (m,) -> (mean, vars) each (N, d)."""
-    return jax.vmap(_condition_single, in_axes=(0, 0, 0, 0, None))(
-        Gamma, alpha, G, PREC, vo_variances)
+    (N, m), G/PREC (N, d), vo_variances (m,) -> (mean, vars) each (N, d).
+    ``eps``: relative diagonal jitter in the equilibrated Schur system."""
+    eps = jnp.asarray(eps, dtype=Gamma.dtype)
+    return jax.vmap(_condition_single, in_axes=(0, 0, 0, 0, None, None))(
+        Gamma, alpha, G, PREC, vo_variances, eps)
 
 
 @jax.jit
@@ -297,8 +320,10 @@ def gamma_precision_beta(Gamma, alpha, mean, vars_):
     (reference: VirtualObservables.py:971-998):
     beta_j = 0.5 sum_n [(Gamma_n mu_n - alpha_n)_j^2 + (Gamma_n^2 vars_n)_j].
     """
-    resid = jnp.einsum("nmd,nd->nm", Gamma, mean) - alpha
-    spread = jnp.einsum("nmd,nd->nm", Gamma ** 2, vars_)
+    resid = jnp.einsum("nmd,nd->nm", Gamma, mean,
+                       precision=jax.lax.Precision.HIGHEST) - alpha
+    spread = jnp.einsum("nmd,nd->nm", Gamma ** 2, vars_,
+                        precision=jax.lax.Precision.HIGHEST)
     return 0.5 * jnp.sum(resid ** 2 + spread, axis=0)
 
 
@@ -409,17 +434,17 @@ class VirtualObservablesEnsemble:
     def update(self, G, PREC, iteration: int, writer=None):
         """(reference: VirtualObservables.py:891-898)"""
         self.update_vo_precision(iteration, writer)
-        # numerical floor: exact constraints get a tiny jitter so the
-        # Cholesky stays positive-definite in f32 as well
-        eps = jnp.asarray(1e-10 if self.dtype == jnp.float64 else 1e-6,
-                          dtype=self.dtype)
-        vo_var = self.vo_variances + eps
+        # numerical floor: RELATIVE jitter on the equilibrated Schur system
+        # (see _condition_single) -- exact constraints stay positive-
+        # definite in f32 without drowning small-scale constraint rows
+        eps = 1e-12 if self.dtype == jnp.float64 else 1e-6
+        vo_var = self.vo_variances
         G = G.astype(self.dtype)
         PREC = PREC.astype(self.dtype)
         if self.prior_precision_factor != 1.0:
             PREC = PREC * self.prior_precision_factor
         mean, vars_ = condition_ensemble(self._Gamma, self._alpha, G,
-                                         PREC, vo_var)
+                                         PREC, vo_var, eps)
         # failure containment: a per-sample Cholesky breakdown (non-finite
         # conditioning output, or a non-finite model prior) must not poison
         # the ensemble -- the NaN would propagate through the next

@@ -222,6 +222,15 @@ class Trainer:
 
         assert "supervised" in datasets
         datasets["supervised"].restrict(Ns)
+        if Ns == 0:
+            # zero-label regime (reference thesis: readme.md:3-8 --
+            # "little or NO labeled data"): the supervised ELBO term is
+            # disabled and virtual observables / the unlabeled term carry
+            # all learning signal.  The empty supervised chunk stays in
+            # the pytree (0-row q_z block) so shapes/partitions are
+            # unchanged across arms of an ablation.
+            self.model = dataclasses.replace(self.model,
+                                             disable_elbo_supervised=True)
         if Nvo > 0:
             assert "vo" in datasets and datasets["vo"].N > 0
             datasets["vo"].restrict(Nvo)
@@ -301,6 +310,14 @@ class Trainer:
             "Y": ds["supervised"].get("Y"),
             "F_ROM_BC": ds["supervised"].get("F_ROM_BC"),
         }
+        if data_sup["X"] is None:
+            # N_s == 0 (zero-label regime): keep 0-row arrays of the right
+            # trailing shape so the init/step signatures are unchanged; the
+            # supervised ELBO term itself is disabled in
+            # set_data_from_datasets
+            data_sup = {k: jnp.zeros((0,) + ds["validation"].get(k).shape[1:],
+                                     dtype=dt)
+                        for k in ("X", "Y", "F_ROM_BC")}
         data_vo = None
         if self.VO is not None and "vo" in ds and ds["vo"].N > 0:
             data_vo = {
@@ -623,7 +640,8 @@ class Trainer:
                                 prefix="objective/")
         # model.record equivalents (reference: generative.py:112-119)
         if self.model.independent_X and "supervised" in \
-                self.state.params["q_X"]:
+                self.state.params["q_X"] \
+                and self.state.params["q_X"]["supervised"]["mean"].size:
             qX = self.state.params["q_X"]["supervised"]
             self.writer.add_scalar("Monitoring/logEffProp_sup_mean",
                                    jnp.mean(qX["mean"]), gn)
@@ -641,7 +659,7 @@ class Trainer:
         self._analysis.eval_all_y(self.state.params, self.state.pe_q, key,
                                   self.get("N_monte_carlo_analysis"),
                                   iteration=gn)
-        if self.get("MonitorTraining"):
+        if self.get("MonitorTraining") and self._data_sup["X"].shape[0] > 0:
             q_sup = self.state.params["q_z"]["supervised"]
             self._analysis_training.eval_all_y(
                 self.state.params, q_sup, key,

@@ -148,6 +148,33 @@ def test_trainer_halts_on_divergence(small_loaders, tmp_path):
         tr.run(6, verbose=False)
 
 
+def test_trainer_zero_labels_vo_only(small_loaders):
+    """N_s=0: the zero-label regime of the reference thesis (readme.md:3-8,
+    'little or NO labeled data').  The supervised ELBO term is disabled,
+    virtual observables + the amortized unlabeled term carry all signal;
+    the run must stay finite and the VO machinery must engage."""
+    dl, dlu = small_loaders
+    params = _params(N_s=0, N_s_max=0, N_vo=6, N_vo_max=6,
+                     vo_spec={"type": "constrain", "CGR": True, "flux": True,
+                              "N_gaussian": 2, "N_rbf": 2, "l_rbf": 0.2})
+    params.trainer["N_vo_holdoff"] = 3
+    params.trainer["N_vo_update_interval"] = 5
+    params.trainer["N_PE_updates_final"] = 0
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr.model.disable_elbo_supervised
+    assert tr.use_vo()
+    tr.run(8, verbose=False)
+    assert tr._vo_is_initialized
+    res = tr.results()
+    assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
+    elbos = tr._monitor["elbo"]
+    assert all(np.isfinite(e) for e in elbos)
+    # the 0-row supervised q_z block stays in the pytree for shape parity
+    assert tr.state.params["q_z"]["supervised"]["mean"].shape[0] == 0
+
+
 @pytest.mark.slow
 def test_trainer_with_virtual_observables(small_loaders):
     dl, dlu = small_loaders
