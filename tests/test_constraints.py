@@ -12,7 +12,7 @@ from generative_physics_informed_pde_tpu.constraints import (
     GaussianSketchingSampler, RadialBasisFunctionSampler,
     FluxConstrainSampler, ConcatenatedSamplers, VirtualObservablesEnsemble,
     EnergyVirtualObservablesEnsemble, FluxConstraintOperator,
-    build_virtual_observables_ensemble)
+    build_virtual_observables_ensemble, condition_ensemble)
 
 
 @pytest.fixture(scope="module")
@@ -324,6 +324,44 @@ def test_f32_conditioning_matches_f64_oracle_at_config2_scale():
     # and the f32 posterior means actually moved toward the solutions
     assert (np.linalg.norm(m32 - np.asarray(Y))
             < np.linalg.norm(np.asarray(G) - np.asarray(Y)))
+
+
+def test_f32_conditioning_survives_badly_scaled_schur_system():
+    """Correctness guard for the Jacobi-equilibrated conditioning rewrite
+    (motivated by cadence-50 on-TPU Cholesky breakdowns: Schur diag span
+    [0.9, 7e5], cond 4e10 -- PARITY.md, benchmarks/vo_nan_analyze.py; that
+    failure itself is TPU-accumulation-specific and does NOT reproduce on
+    CPU).  What this asserts: on a synthetic system with a 6-decade
+    constraint-row-scale spread, the equilibrated path's scaling algebra
+    (D^-1/2 folded into resid/solvec/AL) is exact -- f32 stays finite and
+    tracks the f64 oracle, and posterior variances contract the prior."""
+    rng = np.random.default_rng(7)
+    N, m, d = 3, 48, 400
+    # constraint rows spanning 6 decades in scale, like CGR vs flux rows
+    scales = np.logspace(-1, 5, m)
+    Gamma = scales[:, None] * rng.normal(size=(m, d)) / np.sqrt(d)
+    Gamma = np.broadcast_to(Gamma, (N, m, d))
+    alpha = np.einsum("nmd,nd->nm", Gamma, rng.normal(size=(N, d)))
+    G = rng.normal(size=(N, d))
+    PREC = np.exp(rng.normal(0.0, 1.0, size=(N, d)))  # heteroscedastic prior
+    vo_var = np.zeros(m)  # all constraints "exact": jitter carries the PD-ness
+
+    def run(dtype, eps):
+        out = condition_ensemble(
+            jnp.asarray(Gamma, dtype), jnp.asarray(alpha, dtype),
+            jnp.asarray(G, dtype), jnp.asarray(PREC, dtype),
+            jnp.asarray(vo_var, dtype), eps)
+        return tuple(np.asarray(o) for o in out)
+
+    m32, v32 = run(jnp.float32, 1e-6)
+    m64, v64 = run(jnp.float64, 1e-12)
+    assert np.all(np.isfinite(m32)) and np.all(np.isfinite(v32))
+    assert np.all(np.isfinite(m64))
+    rel = np.linalg.norm(m32 - m64) / np.linalg.norm(m64)
+    assert rel < 1e-2, rel
+    # posterior variances shrink relative to the prior and stay sane
+    assert np.all(v64 <= 1.0 / PREC + 1e-9)
+    assert np.median(np.abs(v32 - v64) / (np.abs(v64) + 1e-12)) < 5e-2
 
 
 def test_energy_vo_converges_to_minimizer(setup):
