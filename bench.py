@@ -26,7 +26,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64):
+def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64,
+                  fuse=False):
     import jax
     from generative_physics_informed_pde_tpu.data import DataLoader
     from generative_physics_informed_pde_tpu.fem import GaussianRandomField
@@ -42,6 +43,8 @@ def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64):
     params.data.update(N_u=1024, N_s=128, N_u_max=1024, N_s_max=128,
                        N_vo_max=0, N_vo=0, N_val=128, armortized_bs=64,
                        vo_spec={})
+    if fuse:  # one batched decode per ELBO (--fuse; see PARITY.md)
+        params.margs = {"fuse_decodes": True}
 
     if loaders is not None:
         # reuse the already-assembled arrays (fresh partition state)
@@ -115,12 +118,13 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     grid = 128 if "--grid128" in sys.argv else 64
+    fuse = "--fuse" in sys.argv
     n_steps = int(args[0]) if args else 100
     backend = jax.default_backend()
     log(f"devices: {jax.devices()} (backend={backend})")
 
     t0 = time.perf_counter()
-    trainer, dl, dlu = build_trainer(grid=grid)
+    trainer, dl, dlu = build_trainer(grid=grid, fuse=fuse)
     log(f"setup (incl. {dl.N} batched {grid}^2 label solves): "
         f"{time.perf_counter() - t0:.1f}s")
 
@@ -140,7 +144,7 @@ def main():
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 trainer_cpu, _, _ = build_trainer(loaders=(dl, dlu),
-                                                  grid=grid)
+                                                  grid=grid, fuse=fuse)
                 if grid >= 128:  # ~30 s/step on the 1-core host
                     runs = [measure_steps_per_sec(trainer_cpu, 3, warmup=1,
                                                   chunk=1)]

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Fresh per-term composition of the headline SVI step (64^2 'highres').
+
+The round-2 composition table (PARITY.md) predates the Cholesky ROM
+solve and the current 300+ steps/s build; before spending effort on a
+step optimisation, re-measure which term actually dominates now.
+
+Variants (same data, same recipe as bench.py):
+  full        supervised + amortized unsup + PE inner loop
+  no_pe       N_PE_updates = 0
+  no_unsup    unsupervised term removed (N_u = 0)
+  sup_only    both removed
+
+Run on the TPU:  python benchmarks/step_ablation.py [n_steps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build(variant: str, loaders):
+    import jax
+    from generative_physics_informed_pde_tpu.data import DataLoader
+    from generative_physics_informed_pde_tpu.training import (
+        TrainerParameters, CreateTrainerFromPermutation)
+
+    params = TrainerParameters()
+    params.identifier = "highres"
+    params.trainer["lr_init"] = 1e-2
+    params.trainer["N_monitor_interval"] = 10 ** 9
+    params.scheduler = {"milestones": [250, 1500],
+                        "factor": float(np.sqrt(0.1))}
+    n_u = 0 if variant in ("no_unsup", "sup_only") else 1024
+    params.data.update(N_u=n_u, N_s=128, N_u_max=n_u, N_s_max=128,
+                       N_vo_max=0, N_vo=0, N_val=128, armortized_bs=64,
+                       vo_spec={})
+    if variant in ("no_pe", "sup_only"):
+        params.trainer["N_PE_updates"] = 0
+
+    src_dl, src_dlu = loaders
+    dl = DataLoader(src_dl.X, X_DG=src_dl._X_DG, Y=src_dl._Y,
+                    BCE=src_dl._BCE, F_ROM_BC=src_dl._F_ROM_BC)
+    # dlu is always passed (the factory would otherwise resample); the
+    # unsupervised term is controlled via N_u_max
+    dlu = DataLoader(src_dlu.X)
+    dlu.lock_physics_assembly()
+    trainer = CreateTrainerFromPermutation(
+        params, permutation=np.arange(dl.N), permutation_u=np.arange(dlu.N),
+        dl=dl, dlu=dlu)
+    return trainer
+
+
+def main():
+    import bench
+
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    _, dl, dlu = bench.build_trainer()  # assembles labels once
+    loaders = (dl, dlu)
+
+    rows = []
+    for variant in ("full", "no_pe", "no_unsup", "sup_only"):
+        t0 = time.time()
+        tr = build(variant, loaders)
+        sps = bench.measure_steps_per_sec(tr, n_steps)
+        rows.append((variant, sps, 1e3 / sps))
+        print(f"{variant:<10} {sps:8.1f} steps/s  {1e3 / sps:6.3f} ms/step "
+              f"(setup {time.time() - t0:.0f}s)", flush=True)
+
+    full = rows[0][2]
+    for v, _, ms in rows[1:]:
+        print(f"implied cost of removed term(s) vs full "
+              f"[{v}]: {full - ms:+.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,9 @@ class ModelFactory:
             # precision, 'bfloat16' = mixed precision); params and
             # BatchNorm stats stay f32 either way.
             "compute_dtype": None,
+            # fuse the per-modality decoder applies into one batched
+            # decode per ELBO evaluation (see GenerativeModel.fuse_decodes)
+            "fuse_decodes": False,
         }
         self._identifier = None
         self._custom_params_set_flag = False
@@ -124,6 +127,7 @@ class ModelFactory:
             f=decoder, g=g, gp=gp, encoder=encoder,
             independent_X=self.params["independent_X"],
             binary_field=self.params["binary_field"],
+            fuse_decodes=self.params["fuse_decodes"],
             dtype=self.dtype)
         discriminative = DiscriminativeModel(model)
         return physics, model, discriminative, encoder, self.dtype

@@ -62,6 +62,16 @@ class GenerativeModel:
     # n_mc>1 decode + embedded ROM solves scale over dp*mc devices instead
     # of replicating over 'mc'.  Set via Trainer.setup(mesh=...).
     mc_sharding: Any = None
+    # Fuse the per-modality decoder applies (supervised + amortized
+    # unsupervised + VO z-samples) into ONE batched decode per ELBO
+    # evaluation.  The reference decodes each term separately
+    # (generative.py:418-585), which at small channel counts leaves the
+    # step latency-bound on kernel count (PARITY.md step roofline).
+    # Deviation when train=True: BatchNorm batch statistics are computed
+    # over the concatenated batch instead of per-term, and dropout masks
+    # are drawn per fused batch.  With train=False the fused path is
+    # bit-identical to the unfused one.  Ignored when mc_sharding is set.
+    fuse_decodes: bool = False
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------- shapes
@@ -166,9 +176,12 @@ class GenerativeModel:
 
     # ------------------------------------------------------- ELBO pieces
     def elbo_supervised(self, params, batch_stats, data, key, *,
-                        train: bool = True, normalize: bool = False):
+                        train: bool = True, normalize: bool = False,
+                        decoded=None):
         """Labeled-pair term (reference: generative.py:418-500, lockX and
-        freeX variants)."""
+        freeX variants).  ``decoded`` = precomputed (predict_x, bs_f) from
+        the fused decode path (elbo); Z must then have been sampled with
+        the same key split as below."""
         if self.disable_elbo_supervised:
             return 0.0, batch_stats, {}
         k1, k2, k3, kd = jax.random.split(key, 4)
@@ -188,8 +201,11 @@ class GenerativeModel:
         else:
             Z = va.sample(qz, k1)
             X_rep, Y_rep, F_rep = X, Y, F
-        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
-                                             train=train, key=kd)
+        if decoded is None:
+            predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                                 train=train, key=kd)
+        else:
+            predict_x, bs_f = decoded
         logL_x = self.random_field_likelihood(predict_x, X_rep) / S
         DKL = va.kld(qz)
         logs = {}
@@ -234,16 +250,23 @@ class GenerativeModel:
         return elbo, new_bs, logs
 
     def elbo_unsupervised_amortized(self, params, batch_stats, X_batch, key, *,
-                                    train: bool = True, normalize: bool = False):
-        """Amortized unlabeled term (reference: generative.py:546-585)."""
+                                    train: bool = True, normalize: bool = False,
+                                    decoded=None, _enc=None):
+        """Amortized unlabeled term (reference: generative.py:546-585).
+        ``decoded``/``_enc`` = precomputed (predict_x, bs_f) and
+        ((mean, logsigma), bs_e) from the fused decode path (elbo)."""
         if self.disable_elbo_unsupervised:
             return 0.0, batch_stats, {}
         k1, kd1, kd2 = jax.random.split(key, 3)
-        (mean, logsigma), bs_e = self.apply_encoder(
-            params, batch_stats, X_batch, train=train, key=kd1)
+        (mean, logsigma), bs_e = _enc if _enc is not None else \
+            self.apply_encoder(params, batch_stats, X_batch, train=train,
+                               key=kd1)
         Z = reparametrize(k1, mean, logsigma)
-        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
-                                             train=train, key=kd2)
+        if decoded is None:
+            predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                                 train=train, key=kd2)
+        else:
+            predict_x, bs_f = decoded
         logL_x = self.random_field_likelihood(predict_x, X_batch)
         DKL = unit_gaussian_kld(mean, 2 * logsigma)
         if normalize:
@@ -282,10 +305,12 @@ class GenerativeModel:
 
     def elbo_virtual_observables(self, params, batch_stats, data, key, *,
                                  vo_mean, vo_logsigma, holdoff: bool = False,
-                                 train: bool = True, normalize: bool = False):
+                                 train: bool = True, normalize: bool = False,
+                                 decoded=None):
         """Virtual-observable term: the VO posterior (mean, logsigma) over y
         plays the role of labels via reparameterised samples
-        (reference: generative.py:290-392)."""
+        (reference: generative.py:290-392).  ``decoded`` = precomputed
+        (predict_x, bs_f) from the fused decode path (elbo)."""
         if self.disable_elbo_vo:
             return 0.0, batch_stats, {}
         k1, k2, k3, kd = jax.random.split(key, 4)
@@ -293,8 +318,11 @@ class GenerativeModel:
         qz = params["q_z"]["vo"]
         Z = va.sample(qz, k1)
         DKL = va.kld(qz)
-        predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
-                                             train=train, key=kd)
+        if decoded is None:
+            predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
+                                                 train=train, key=kd)
+        else:
+            predict_x, bs_f = decoded
         logL_x = self.random_field_likelihood(predict_x, X)
         logs = {}
 
@@ -347,11 +375,19 @@ class GenerativeModel:
         logs = {}
         bs = batch_stats
 
+        dec_u = dec_s = dec_v = enc_u = None
+        if self.fuse_decodes and self.mc_sharding is None:
+            dec_u, dec_s, dec_v, enc_u, bs = self._fused_decode(
+                params, bs, data, (ks, ku, kv),
+                vo_active=data.get("vo") is not None and vo_state is not None,
+                train=train)
+
         if data.get("unsupervised") is not None:
             X_u = data["unsupervised"]["X"]
             if self.encoder is not None:
                 e, bs, l = self.elbo_unsupervised_amortized(
-                    params, bs, X_u, ku, train=train, normalize=normalize)
+                    params, bs, X_u, ku, train=train, normalize=normalize,
+                    decoded=dec_u, _enc=enc_u)
             else:
                 e, bs, l = self.elbo_unsupervised(
                     params, bs, X_u, ku, train=train, normalize=normalize)
@@ -361,7 +397,7 @@ class GenerativeModel:
         if data.get("supervised") is not None:
             e, bs, l = self.elbo_supervised(
                 params, bs, data["supervised"], ks, train=train,
-                normalize=normalize)
+                normalize=normalize, decoded=dec_s)
             total += e
             logs.update(l)
 
@@ -370,7 +406,7 @@ class GenerativeModel:
             e, bs, l = self.elbo_virtual_observables(
                 params, bs, data["vo"], kv, vo_mean=vo_mean,
                 vo_logsigma=vo_logsigma, holdoff=vo_holdoff, train=train,
-                normalize=normalize)
+                normalize=normalize, decoded=dec_v)
             total += e
             logs.update(l)
 
@@ -383,6 +419,72 @@ class GenerativeModel:
 
         logs["elbo"] = total
         return total, bs, logs
+
+    def _fused_decode(self, params, batch_stats, data, keys, *,
+                      vo_active: bool, train: bool):
+        """ONE decoder apply over the concatenated z-samples of all active
+        modalities (see ``fuse_decodes``).  Samples each modality's Z with
+        exactly the key splits its term function uses, so the terms'
+        internal recomputation of Z is a common subexpression.  Returns
+        (dec_unsup, dec_sup, dec_vo, enc_unsup, batch_stats), each dec a
+        (predict_x_slice, bs_f) pair or None."""
+        ks, ku, kv = keys
+        parts, names, kd = [], [], None
+        enc_u = None
+
+        if (data.get("unsupervised") is not None and self.encoder is not None
+                and not self.disable_elbo_unsupervised):
+            k1, kd1, kd2 = jax.random.split(ku, 3)
+            enc_u = self.apply_encoder(params, batch_stats,
+                                       data["unsupervised"]["X"],
+                                       train=train, key=kd1)
+            (mean, logsigma), _ = enc_u
+            parts.append(reparametrize(k1, mean, logsigma))
+            names.append("u")
+            kd = kd2
+        if (data.get("supervised") is not None
+                and not self.disable_elbo_supervised):
+            k1, k2, k3, kds = jax.random.split(ks, 4)
+            qz = params["q_z"]["supervised"]
+            if self.n_mc > 1:
+                Z = va.sample_all_components(qz, k1, self.n_mc).reshape(
+                    -1, self.dim_latent)
+            else:
+                Z = va.sample(qz, k1)
+            parts.append(Z)
+            names.append("s")
+            kd = kds if kd is None else kd
+        if vo_active and not self.disable_elbo_vo:
+            k1, k2, k3, kdv = jax.random.split(kv, 4)
+            parts.append(va.sample(params["q_z"]["vo"], k1))
+            names.append("v")
+            kd = kdv if kd is None else kd
+
+        if len(parts) < 2:  # nothing to fuse -- keep exact term semantics
+            return None, None, None, None, batch_stats
+
+        sizes = [p.shape[0] for p in parts]
+        out, bs_f = self.apply_decoder(params, batch_stats,
+                                       jnp.concatenate(parts, axis=0),
+                                       train=train, key=kd)
+        total = sum(sizes)
+
+        def cut(lo, hi):
+            return jax.tree_util.tree_map(
+                lambda a: a[lo:hi]
+                if (hasattr(a, "shape") and a.shape
+                    and a.shape[0] == total) else a, out)
+
+        dec = {}
+        lo = 0
+        for name, n in zip(names, sizes):
+            dec[name] = (cut(lo, lo + n), bs_f)
+            lo += n
+        new_bs = dict(batch_stats)
+        new_bs["f"] = bs_f
+        if enc_u is not None:
+            new_bs["encoder"] = enc_u[1]
+        return (dec.get("u"), dec.get("s"), dec.get("v"), enc_u, new_bs)
 
     # ------------------------------------------------ VO moment propagation
     def propagate_vo_moments(self, params, data_vo, key, n_monte_carlo: int):

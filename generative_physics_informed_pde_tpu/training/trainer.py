@@ -499,6 +499,7 @@ class Trainer:
             return train_step_n(state, self._step_data, vo_mean, vo_logsigma,
                                 holdoff=holdoff, n_steps=n_steps)
 
+        run_step.jitted = train_step_n  # for AOT lowering / cost analysis
         return run_step
 
     # ---------------------------------------------------------------- VO

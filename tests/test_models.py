@@ -219,6 +219,65 @@ def test_elbo_multi_mc_samples(physics):
     np.testing.assert_allclose(float(e1), float(e4), rtol=1e-5)
 
 
+def test_fused_decode_matches_unfused(physics):
+    """fuse_decodes=True must be BIT-identical to the unfused path in eval
+    mode (BatchNorm uses running stats, dropout off -> per-slice decode is
+    batch-independent), and must train with finite gradients in train mode
+    (where the documented deviation is fused BN batch statistics)."""
+    import dataclasses as _dc
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    enc = CNNEncoder(imsize=32, latent_dim=8, blocks=(1, 1), growth_rate=4,
+                     init_features=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=enc,
+                            dtype=jnp.float32)
+    fused = _dc.replace(model, fuse_decodes=True)
+
+    rng = np.random.default_rng(0)
+    Ns, Nu, Nv = 4, 6, 3
+    dim_y, n_rom = physics["fom"].dim_out, physics["rom"].grid.n_nodes
+    data = {
+        "supervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), jnp.float32),
+            "Y": jnp.asarray(rng.normal(size=(Ns, dim_y)), jnp.float32),
+            "F_ROM_BC": jnp.zeros((Ns, n_rom), jnp.float32)},
+        "unsupervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Nu, 32, 32)), jnp.float32)},
+        "vo": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Nv, 32, 32)), jnp.float32),
+            "F_ROM_BC": jnp.zeros((Nv, n_rom), jnp.float32)},
+    }
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    vo_state = (jnp.asarray(rng.normal(size=(Nv, dim_y)), jnp.float32),
+                jnp.full((Nv, dim_y), -1.0, jnp.float32))
+
+    key = jax.random.PRNGKey(7)
+    e_ref, _, logs_ref = model.elbo(params, bs, data, key, vo_state=vo_state,
+                                    train=False)
+    e_fus, _, logs_fus = fused.elbo(params, bs, data, key, vo_state=vo_state,
+                                    train=False)
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_fus))
+    for k in logs_ref:
+        np.testing.assert_array_equal(np.asarray(logs_ref[k]),
+                                      np.asarray(logs_fus[k]), err_msg=k)
+
+    def loss(p):
+        e, _, _ = fused.elbo(p, bs, data, key, vo_state=vo_state, train=True)
+        return -e
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert bool(jnp.isfinite(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g_))) for g_ in flat)
+    assert float(jnp.abs(grads["q_z"]["vo"]["mean"]).max()) > 0
+    enc_leaves = jax.tree_util.tree_leaves(grads["encoder"])
+    assert any(float(jnp.abs(g_).max()) > 0 for g_ in enc_leaves)
+
+
 def test_codec_bfloat16_compute_dtype():
     """compute_dtype='bfloat16': params and outputs stay f32, values track
     the f32 path to bf16 precision (mixed-precision MXU path)."""
