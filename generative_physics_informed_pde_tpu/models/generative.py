@@ -65,8 +65,10 @@ class GenerativeModel:
     # Fuse the per-modality decoder applies (supervised + amortized
     # unsupervised + VO z-samples) into ONE batched decode per ELBO
     # evaluation.  The reference decodes each term separately
-    # (generative.py:418-585), which at small channel counts leaves the
-    # step latency-bound on kernel count (PARITY.md step roofline).
+    # (generative.py:418-585).  Measured on v5e at 64^2 this is
+    # throughput-neutral -- the conv kernels scale with batch, so fusing
+    # buys nothing (PARITY.md step speed-of-light study); kept as tested
+    # opt-in infrastructure.
     # Deviation when train=True: BatchNorm batch statistics are computed
     # over the concatenated batch instead of per-term, and dropout masks
     # are drawn per fused batch.  With train=False the fused path is
