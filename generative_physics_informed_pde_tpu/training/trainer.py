@@ -698,7 +698,15 @@ class Trainer:
     # ------------------------------------------------- checkpoint / resume
     def save_checkpoint(self, path: str) -> str:
         """Persist the full training state (exceeds the reference, which
-        cannot resume Trainer.run -- SURVEY §5)."""
+        cannot resume Trainer.run -- SURVEY §5).
+
+        The VO posterior (``_vo_state``) is deliberately NOT persisted:
+        it is model-derived state, and ``update_vo`` reconditions it at
+        the first post-resume step (``_vo_is_initialized`` is False), so
+        a resumed VO run self-heals; the Gamma-hyperprior precision is
+        recomputed from residuals at every update (stateless), and the
+        energy-VO temperature is a pure function of the restored step
+        counter.  Tested: test_trainer_vo_checkpoint_resume."""
         from .checkpoint import save_train_state
         state = dataclasses.asdict(self.state) if not hasattr(
             self.state, "replace") else self.state

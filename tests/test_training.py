@@ -195,6 +195,40 @@ def test_trainer_with_virtual_observables(small_loaders):
     assert np.isfinite(res["logscore_y"])
 
 
+def test_trainer_vo_checkpoint_resume(small_loaders, _raw_fields, tmp_path):
+    """Resume of a constrain-VO run self-heals: the VO posterior is NOT
+    checkpointed (model-derived state -- see Trainer.save_checkpoint), so
+    after restore the first step must recondition it
+    (_vo_is_initialized False -> update_vo fires) and training must
+    continue with finite metrics."""
+    X, Xu = _raw_fields
+    spec = {"type": "constrain", "CGR": True, "flux": True,
+            "N_gaussian": 2, "N_rbf": 2, "l_rbf": 0.2}
+
+    def make():
+        dl, dlu = DataLoader(X.copy()), DataLoader(Xu.copy())
+        dlu.lock_physics_assembly()
+        p = _params(N_vo=6, N_vo_max=6, N_s=8, N_s_max=8, vo_spec=spec)
+        p.trainer["N_vo_holdoff"] = 3
+        p.trainer["N_vo_update_interval"] = 5
+        return CreateTrainerFromPermutation(
+            p, permutation=np.arange(dl.N), permutation_u=np.arange(dlu.N),
+            dl=dl, dlu=dlu)
+
+    tr = make()
+    tr.run(12, verbose=False)
+    assert tr._vo_is_initialized
+    path = tr.save_checkpoint(str(tmp_path / "ck"))
+
+    tr2 = make()  # fresh trainer, same data/keys
+    tr2.restore_checkpoint(path)
+    assert tr2.gn == 12 and not tr2._vo_is_initialized
+    tr2.run(6, verbose=False)
+    assert tr2._vo_is_initialized  # reconditioned at the first resume step
+    assert bool(jnp.all(jnp.isfinite(tr2.VO.mean)))
+    assert np.isfinite(tr2.results()["logscore_y"])
+
+
 @pytest.mark.slow
 def test_trainer_energy_vo_end_to_end(small_loaders):
     """Train >=200 iterations with energy-VOs and an annealing temperature
