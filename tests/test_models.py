@@ -219,6 +219,7 @@ def test_elbo_multi_mc_samples(physics):
     np.testing.assert_allclose(float(e1), float(e4), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_decode_matches_unfused(physics):
     """fuse_decodes=True must be BIT-identical to the unfused path in eval
     mode (BatchNorm uses running stats, dropout off -> per-slice decode is

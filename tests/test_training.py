@@ -195,6 +195,7 @@ def test_trainer_with_virtual_observables(small_loaders):
     assert np.isfinite(res["logscore_y"])
 
 
+@pytest.mark.slow
 def test_trainer_vo_checkpoint_resume(small_loaders, _raw_fields, tmp_path):
     """Resume of a constrain-VO run self-heals: the VO posterior is NOT
     checkpointed (model-derived state -- see Trainer.save_checkpoint), so
