@@ -715,6 +715,31 @@ class Trainer:
                 "runtime": self._global_runtime}
         return save_train_state(path, meta)
 
+    def export_surrogate(self, path: Optional[str] = None, *,
+                         buckets=None, platforms=None):
+        """AOT-export the trained discriminative surrogate as a serving
+        bundle (``serving.SurrogateBundle``): one StableHLO executable
+        per static batch bucket, current params baked in.  Writes
+        ``path`` (zip) if given; returns the bundle.
+
+        The deployable the reference extracts by pickling the torch
+        module (generative.py:605-644) becomes a versioned, code-free
+        artifact here.
+        """
+        from ..serving import DEFAULT_BUCKETS, SurrogateBundle
+        if self.state is None:
+            raise RuntimeError("call setup()/run() before exporting")
+        img = self.physics["fom"].grid.nx
+        bundle = SurrogateBundle.build(
+            self.discriminative_model, self.state.params,
+            self.state.batch_stats, (img, img),
+            self.physics["rom"].grid.n_nodes,
+            buckets=DEFAULT_BUCKETS if buckets is None else buckets,
+            dtype=self._dtype, platforms=platforms)
+        if path is not None:
+            bundle.save(path)
+        return bundle
+
     def restore_checkpoint(self, path: str):
         from .checkpoint import restore_train_state
         like = {"state": self.state, "gn": 0, "runtime": 0.0}

@@ -124,6 +124,17 @@ def test_trainer_micro_smoke(small_loaders, tmp_path):
     tr.run(1, verbose=False)
     res = tr.results()
     assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
+    # train -> deployable: export the trained surrogate and check it
+    # serves the validation fields identically to the in-process model
+    bundle = tr.export_surrogate(str(tmp_path / "surrogate.zip"),
+                                 buckets=(4,))
+    X_val = tr.datasets["validation"].get("X")[:3]
+    F_val = tr.datasets["validation"].get("F_ROM_BC")[:3]
+    served = bundle.predict(X_val, F_val)
+    direct = tr.discriminative_model(tr.state.params, tr.state.batch_stats,
+                                     X_val, F_val)
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
     tr.finalize()
     assert (tmp_path / "metrics.jsonl").exists()
 
