@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--buckets", type=int, nargs="+",
                     default=[256, 1024, 4096])
     ap.add_argument("--preset", default="highres")
+    ap.add_argument("--bf16", action="store_true",
+                    help="also serve with compute_dtype=bfloat16 convs "
+                         "(same f32 params) and report speed + deviation")
     args = ap.parse_args()
 
     mf = ModelFactory.FromIdentifier(args.preset)
@@ -86,6 +89,23 @@ def main():
             dt, _ = _timeit(f)
             rows.append(B / dt)
         print(f"{B:>6} {rows[0]:>12,.0f} {rows[1]:>12,.0f} {rows[2]:>12,.0f}")
+
+    if args.bf16:
+        # same f32 params through bf16 convs: inference-only mixed precision
+        mf16 = ModelFactory.FromIdentifier(args.preset)
+        mf16.set("compute_dtype", "bfloat16")
+        _, model16, dm16, _, _ = mf16.setup()
+        live16 = jax.jit(surrogate_fn(dm16, params, bs))
+        B = args.buckets[-1]
+        x = jnp.asarray(rng.normal(0.4, 0.8, (B, img, img)), dtype)
+        F = jnp.asarray(rng.normal(size=(B, dim_F)), dtype)
+        dt32, _ = _timeit(lambda: float(live(x, F).sum()))
+        dt16, _ = _timeit(lambda: float(live16(x, F).sum()))
+        y32, y16 = live(x, F), live16(x, F)
+        rel = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+        print(f"bf16 convs @B={B}: {B / dt16:,.0f} vs f32 {B / dt32:,.0f} "
+              f"fields/s ({dt32 / dt16:.2f}x); rel-L2 deviation from f32 "
+              f"output: {rel:.2e}")
 
     # pad path: a ragged request served through the bucket above it
     n = args.buckets[-1] - args.buckets[-1] // 3
