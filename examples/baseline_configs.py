@@ -144,6 +144,34 @@ def config2h(iterations=1000):
     return _run(p, dl, dlu, iterations)
 
 
+def config2he(iterations=2000):
+    """Energy-VO at the 'highres' 128^2 scale -- the production
+    semi-supervised arm (see the VO-ablation in PARITY.md) run where the
+    randomized-subspace energy update spans 16,129 free dofs.  Long runs
+    checkpoint every 1000 iterations to results/config2he_ckpt."""
+    p = TrainerParameters()
+    p.identifier = "highres128"
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=500,
+                     N_vo_holdoff=50, N_vo_update_interval=10,
+                     N_monte_carlo_vo=64)
+    if iterations > 1000:
+        p.scheduler = {"milestones": [iterations // 3, 2 * iterations // 3],
+                       "factor": math.sqrt(0.1)}
+    else:
+        p.scheduler = {"milestones": [500], "factor": math.sqrt(0.1)}
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
+                  N_vo=64, N_val=64, armortized_bs=32,
+                  vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 32,
+                           "energy_num_iterations_per_update": 10,
+                           "T_init": 1.0, "T_final": 1e-6,
+                           "T_iterations": iterations + 1})
+    rf = GaussianRandomField.from_image(128, 128, 0.4, 0.8, 0.04,
+                                        method="fft")
+    dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
+    ckpt = "results/config2he_ckpt" if iterations > 1000 else None
+    return _run(p, dl, dlu, iterations, ckpt_dir=ckpt, seg=1000)
+
+
 def config3(iterations=600):
     """High-contrast Matern at 128^2 with 16 MC ELBO samples per step.
 
@@ -195,7 +223,7 @@ def config5():
 
 
 CONFIGS = {"1": config1, "2": config2, "2e": config2e, "2h": config2h,
-           "3": config3, "4": config4, "5": config5}
+           "2he": config2he, "3": config3, "4": config4, "5": config5}
 
 
 if __name__ == "__main__":
