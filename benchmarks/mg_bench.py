@@ -39,14 +39,17 @@ def true_residual(fom, alphas, vals, Y):
     return float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
 
 
-def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal"):
-    phys = fem.make_fom_rom_pair("NDP", 8, 8, int(np.log2(n // 8)))
-    fom = phys["fom"]
+def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
+        maxiter=None):
+    # FOM only -- skip make_fom_rom_pair's dense W (1M x 81 at 1024^2)
+    grid = fem.StructuredTriGrid(8, 8).refined(int(np.log2(n // 8)))
+    fom = fem.LinearEllipticPhysics("fom", "NDP", grid)
     assert fom.grid.nx == n, (fom.grid.nx, n)
     from generative_physics_informed_pde_tpu.fem.batched_solver import (
         make_batched_fom_solver)
     solve = jax.jit(make_batched_fom_solver(
-        fom.op, fom.profile, precond=precond, precond_dtype=precond_dtype))
+        fom.op, fom.profile, precond=precond, precond_dtype=precond_dtype,
+        maxiter=maxiter))
     key = jax.random.PRNGKey(0)
     if fields == "matern":
         # config-3's conductivity family: Matern-3/2, log-stddev 1.0 --
@@ -106,6 +109,27 @@ def contrast_study():
               flush=True)
 
 
+def scale_study():
+    """Headroom beyond the reference's own caps: the reference cannot
+    even SAMPLE fields past 8192 dims (RandomField.py:43 caps the dense
+    covariance, i.e. <= 90^2), let alone solve batches at 512^2+.  The
+    stencil-operator + MG-PCG path has no such cap -- measure batched
+    label-solve throughput at 512^2 and 1024^2 (pow2 grids share the
+    same V-cycle machinery; B sized to keep the workspace in HBM).
+
+    Both dtypes per grid: this study found the bf16 V-cycle inverts
+    past 256^2 (rounding compounds across the deeper hierarchy and
+    costs PCG iterations -- at 1024^2 it stalls at the iteration cap),
+    which moved the auto precond_dtype default to f32 for nx > 256."""
+    for (n, B) in [(512, 32), (1024, 8)]:
+        s32, r32 = run(n, B, "float32", maxiter=150)
+        s16, r16 = run(n, B, "bfloat16", maxiter=150)
+        dofs = (n + 1) ** 2 * s32
+        print(f"  -> {n}^2: f32 {s32:.1f} solves/s (res {r32:.1e}) = "
+              f"{dofs / 1e6:.0f}M dof-solves/s; bf16 {s16:.1f} "
+              f"(res {r16:.1e})", flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     if "--threshold" in sys.argv:
@@ -113,6 +137,9 @@ def main():
         return
     if "--contrast" in sys.argv:
         contrast_study()
+        return
+    if "--scale" in sys.argv:
+        scale_study()
         return
     for (n, B) in [(128, 256), (256, 64)]:
         s32, r32 = run(n, B, "float32")

@@ -112,13 +112,19 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     V-cycle only preconditions CG (a fixed SPD operator), so bfloat16
     halves the smoother HBM traffic at identical solution accuracy; the
     CG matvec itself always runs in the data dtype.  Default: bfloat16
-    on TPU (measured 1.06x at 128^2/256^2, residuals unchanged --
-    benchmarks/mg_bench.py), float32 elsewhere (emulated CPU bf16 is
-    slow).
+    on TPU for grids up to 256^2 (measured 1.06x at 128^2/256^2,
+    residuals unchanged), float32 beyond -- bf16 rounding compounds
+    across the deeper hierarchy and costs PCG iterations instead of
+    saving bytes (measured on v5e: 512^2 f32 95.5 vs bf16 55.0
+    solves/s; 1024^2 f32 25.5 vs bf16 2.5, which stalls at the
+    iteration cap -- benchmarks/mg_bench.py --scale).  Float32 on CPU
+    always (emulated bf16 is slow).
     """
     if precond_dtype is None:
         from ..utils.backend import effective_platform
-        precond_dtype = ("bfloat16" if effective_platform() == "tpu"
+        precond_dtype = ("bfloat16"
+                         if (effective_platform() == "tpu"
+                             and max(op.grid.nx, op.grid.ny) <= 256)
                          else "float32")
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1

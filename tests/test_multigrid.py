@@ -113,3 +113,39 @@ def test_mg_gradients_match_jacobi():
         phys.op, phys.profile, precond="jacobi"))(a, vals)))(alphas)
     np.testing.assert_allclose(np.asarray(g_mg), np.asarray(g_j), rtol=1e-6,
                                atol=1e-10)
+
+
+def test_precond_dtype_auto_default(monkeypatch):
+    """TPU auto default: bf16 V-cycle only up to 256^2.  Past that the
+    bf16 rounding compounds across the deeper hierarchy and costs PCG
+    iterations instead of saving bytes (measured on v5e: 512^2 f32 95.5
+    vs bf16 55.0 solves/s; 1024^2 f32 25.5 vs bf16 2.5 with the true
+    residual stalled at the iteration cap -- mg_bench.py --scale)."""
+    from generative_physics_informed_pde_tpu.utils import backend
+    from generative_physics_informed_pde_tpu.fem import batched_solver
+
+    picked = {}
+    real = batched_solver.make_batched_fom_solver
+
+    def probe(nx, platform):
+        monkeypatch.setattr(backend, "effective_platform", lambda: platform)
+        phys = fem.LinearEllipticPhysics(
+            "fom", "ND", fem.StructuredTriGrid(nx, nx))
+        # intercept the MG construction to read the chosen dtype
+        from generative_physics_informed_pde_tpu.fem.multigrid import (
+            MultigridPreconditioner)
+        orig = MultigridPreconditioner.for_grid.__func__
+
+        def spy(cls, grid, **kw):
+            picked["dtype"] = kw.get("dtype", "float32")
+            return orig(cls, grid, **kw)
+
+        monkeypatch.setattr(MultigridPreconditioner, "for_grid",
+                            classmethod(spy))
+        real(phys.op, phys.profile, precond="mg")
+        return picked["dtype"]
+
+    assert probe(64, "tpu") == "bfloat16"
+    assert probe(256, "tpu") == "bfloat16"
+    assert probe(512, "tpu") == "float32"
+    assert probe(64, "cpu") == "float32"
