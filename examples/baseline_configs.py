@@ -56,6 +56,7 @@ def _run(params, dl, dlu, iterations, ckpt_dir=None, seg=None):
         print(f"resumed from {ckpt_dir} at gn={tr.gn}", flush=True)
     t0 = time.time()
     seg = seg or iterations
+    gn0 = tr.gn  # nonzero on checkpoint resume
     while tr.gn < iterations:
         n = min(seg, iterations - tr.gn)
         tr.run(n, verbose=True)
@@ -63,8 +64,10 @@ def _run(params, dl, dlu, iterations, ckpt_dir=None, seg=None):
             tr.save_checkpoint(os.path.join(ckpt_dir, "latest"))
             print(f"checkpoint @ gn={tr.gn}: {tr.results()}", flush=True)
     dt = time.time() - t0
-    print(f"{iterations} iters in {dt:.1f}s -> {iterations / dt:.1f} steps/s",
-          flush=True)
+    done = tr.gn - gn0  # only the iterations executed THIS invocation
+    if done > 0:
+        print(f"{done} iters in {dt:.1f}s -> {done / dt:.1f} steps/s"
+              + (f" (resumed at gn={gn0})" if gn0 else ""), flush=True)
     print("results:", tr.results(), flush=True)
     return tr
 

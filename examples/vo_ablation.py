@@ -110,10 +110,13 @@ def run_arm(arm: str, iterations: int, n_s: int = 64,
     out = dict(tr.results())
     out.update(arm=arm, iterations=iterations, N_s=n_s,
                steps_per_sec=iterations / dt)
-    if vo_cadence:
+    # --cadence / --temper are wired into the constrain arm only (_params
+    # ignores them elsewhere): tagging unaffected arms would record the
+    # identical labels/energy config twice under different names
+    if vo_cadence and arm == "constrain":
         out["vo_cadence"] = vo_cadence
         out["arm"] = f"{arm}@{vo_cadence}"
-    if temper != 1.0:
+    if temper != 1.0 and arm == "constrain":
         out["temper"] = temper
         out["arm"] = f"{out['arm']}*t{temper}"
     if corrlength != 0.04:

@@ -315,16 +315,24 @@ def condition_ensemble(Gamma, alpha, G, PREC, vo_variances, eps=0.0):
 
 
 @jax.jit
-def gamma_precision_beta(Gamma, alpha, mean, vars_):
+def gamma_precision_beta(Gamma, alpha, mean, vars_, weights=None):
     """Gamma-hyperprior posterior rate over constraint-noise variances
     (reference: VirtualObservables.py:971-998):
     beta_j = 0.5 sum_n [(Gamma_n mu_n - alpha_n)_j^2 + (Gamma_n^2 vars_n)_j].
+
+    ``weights`` (N,): optional 0/1 per-sample mask -- samples whose stored
+    moments are failure-containment stand-ins (huge-variance pseudo-labels)
+    must not enter the sum, or their 1e6 variances inflate beta for EVERY
+    sample's vo_variances.
     """
     resid = jnp.einsum("nmd,nd->nm", Gamma, mean,
                        precision=jax.lax.Precision.HIGHEST) - alpha
     spread = jnp.einsum("nmd,nd->nm", Gamma ** 2, vars_,
                         precision=jax.lax.Precision.HIGHEST)
-    return 0.5 * jnp.sum(resid ** 2 + spread, axis=0)
+    per_sample = resid ** 2 + spread
+    if weights is not None:
+        per_sample = per_sample * weights[:, None]
+    return 0.5 * jnp.sum(per_sample, axis=0)
 
 
 class VirtualObservablesEnsemble:
@@ -350,6 +358,9 @@ class VirtualObservablesEnsemble:
         self._alpha = None
         self._mean = None
         self._vars = None
+        # samples whose stored moments are failure-containment stand-ins
+        # (excluded from the Gamma precision update until they recover)
+        self._fallback_mask = None
 
         self.m = sampler.m
         self.N = qpe.N
@@ -422,8 +433,19 @@ class VirtualObservablesEnsemble:
             return
         if self.fixed_precision or self._mean is None:
             return
-        beta = gamma_precision_beta(self._Gamma, self._alpha, self._mean,
-                                    self._vars)
+        fb = self._fallback_mask
+        if fb is not None and bool(fb.any()):
+            # exclude contained-failure samples: their huge-variance
+            # stand-ins would inflate beta_j ensemble-wide (the exact
+            # poisoning path the containment exists to stop)
+            w = (~fb).astype(self._mean.dtype)
+            beta = gamma_precision_beta(self._Gamma, self._alpha,
+                                        self._mean, self._vars, w)
+            self._prec_alpha = 0.5 * float(w.sum()) + self.ALPHA_0
+        else:
+            beta = gamma_precision_beta(self._Gamma, self._alpha,
+                                        self._mean, self._vars)
+            self._prec_alpha = 0.5 * self.N + self.ALPHA_0
         self._prec_beta = beta + self.BETA_0
         self.vo_variances = self._mean_vo_variances()
         if writer is not None:
@@ -488,6 +510,8 @@ class VirtualObservablesEnsemble:
         if writer is not None and n_bad:
             writer.add_scalar("Monitor/VO_conditioning_failures", n_bad,
                               global_step=iteration)
+        # flag stand-in samples so the NEXT precision update skips them
+        self._fallback_mask = bad if n_bad else None
         self._mean = mean
         self._vars = jnp.maximum(vars_, 1e-12)
 

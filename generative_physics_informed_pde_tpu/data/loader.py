@@ -318,8 +318,11 @@ class DataLoader:
         from ..utils.backend import effective_platform
         if effective_platform() != "cpu" and hasattr(sampler, "sample"):
             # bucketed chunk sizes: one compiled shape for large N, but a
-            # tiny request (N=24) should not sample/pay for a 1024-batch
+            # tiny request (N=24) should not sample/pay for a 1024-batch;
+            # capped by the sampler's own memory bound (512^2 fields OOM
+            # at chunk 1024 -- the circulant embedding is 1024^2)
             CH = next(c for c in (128, 1024) if c >= min(N, 1024))
+            CH = min(CH, getattr(sampler, "max_sample_batch", CH))
             chunks = []
             base = jax.random.PRNGKey(seed)
             for i in range(0, N, CH):

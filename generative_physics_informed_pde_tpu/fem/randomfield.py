@@ -191,6 +191,18 @@ class GaussianRandomField:
         return np.sqrt(spec / (my * mx))
 
     # ------------------------------------------------------------- sampling
+    @property
+    def max_sample_batch(self) -> int:
+        """Largest on-device sampling batch that keeps the sampler's
+        intermediates bounded (~256 MB per (n, my, mx) array on the
+        fft/matmul-DFT path, which holds ~6 of them live: at 512^2 the
+        embedding grid is 1024^2, so an unbounded 1024-batch draw is a
+        4 GB-per-array OOM).  Dense (KL/Cholesky) paths are cheap."""
+        if self._resolved_method == "fft":
+            my, mx = self._fft_factor.shape
+            return max(8, int(2 ** 26 // (my * mx)))
+        return 4096
+
     def sample(self, key: jax.Array, batch_size: Optional[int] = None,
                gamma: Optional[jnp.ndarray] = None, dtype=jnp.float32) -> jnp.ndarray:
         """Draw samples.  Returns (py, px) images (or flat (n,) vectors when

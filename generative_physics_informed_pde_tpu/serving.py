@@ -114,13 +114,24 @@ class SurrogateBundle:
         largest bucket are processed in largest-bucket chunks (the last
         chunk padded).  Returns exactly ``x.shape[0]`` rows.
         """
-        x = jnp.asarray(x)
-        F = jnp.asarray(F)
+        # cast to the exported dtype (the manifest stores it exactly for
+        # this: x64-enabled callers hand in f64 arrays that the StableHLO
+        # executable would reject with an opaque signature error) and
+        # validate shapes BEFORE any padding work
+        dt = jnp.dtype(self.dtype)
+        x = jnp.asarray(x, dtype=dt)
+        F = jnp.asarray(F, dtype=dt)
         n = x.shape[0]
         if n == 0:
             raise ValueError("empty request")
         if F.shape[0] != n:
             raise ValueError(f"x batch {n} != F batch {F.shape[0]}")
+        if tuple(x.shape[1:]) != self.image_shape:
+            raise ValueError(f"x image shape {tuple(x.shape[1:])} != "
+                             f"exported {self.image_shape}")
+        if F.shape[1:] != (self.dim_F,):
+            raise ValueError(f"F feature dim {F.shape[1:]} != "
+                             f"({self.dim_F},)")
         cap = self.buckets[-1]
         if n <= cap:
             return self._call_padded(x, F, n)

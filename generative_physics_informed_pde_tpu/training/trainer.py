@@ -541,6 +541,17 @@ class Trainer:
         if profile_dir is not None:
             jax.profiler.start_trace(profile_dir)
         t_start = time.time()
+        try:
+            self._run_loop(N, verbose, callback)
+        finally:
+            # accrue runtime and finalize any active profiler trace even
+            # when the loop raises (divergence guard, interrupt): a leaked
+            # trace blocks every subsequent profiled run
+            self._global_runtime += time.time() - t_start
+            if profile_dir is not None:
+                jax.profiler.stop_trace()
+
+    def _run_loop(self, N: int, verbose: bool, callback):
         dummy_vo = (jnp.zeros((1, 1), dtype=self._dtype),) * 2
         last_elbo = None
         mi = self.get("N_monitor_interval")
@@ -630,9 +641,6 @@ class Trainer:
             jax.random.PRNGKey(self._seed + 17),
             self.get("N_monte_carlo_analysis_final"),
             iteration=self.gn + self.get("N_PE_updates_final"))
-        self._global_runtime += time.time() - t_start
-        if profile_dir is not None:
-            jax.profiler.stop_trace()
 
     # ---------------------------------------------------------- monitoring
     def _record(self, n: int, logs: dict):

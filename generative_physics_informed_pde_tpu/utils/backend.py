@@ -20,5 +20,9 @@ def effective_platform() -> str:
     process default backend ('tpu' | 'cpu' | 'gpu')."""
     dev = jax.config.jax_default_device
     if dev is not None:
+        # jax accepts both a Device and a platform string for
+        # default_device; a str override has no .platform attribute
+        if isinstance(dev, str):
+            return dev
         return dev.platform
     return jax.default_backend()

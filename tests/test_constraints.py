@@ -260,6 +260,48 @@ def test_precision_learning_formula(setup):
     assert float(jnp.min(vo.vo_variances)) >= 0
 
 
+def test_contained_failure_does_not_poison_precision(setup):
+    """A sample whose conditioning fails gets a huge-variance stand-in
+    (failure containment); that stand-in must be EXCLUDED from the next
+    Gamma precision update, or its 1e6 variance inflates beta_j -- and
+    with it every sample's vo_variances -- ensemble-wide."""
+    physics, qpe, Y, _ = setup
+    op = FluxConstraintOperator(coarse=physics["rom"].grid,
+                                fine=physics["fom"].grid)
+    sampler = FluxConstrainSampler(operator=op, physics=physics["fom"])
+    rng = np.random.default_rng(1)
+    G = jnp.asarray(rng.normal(size=(qpe.N, qpe.dim_out)))
+    PREC = jnp.ones((qpe.N, qpe.dim_out))
+
+    # clean twin: all samples fine
+    vo_ok = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    vo_ok.update(G, PREC, 0)
+    vo_ok.update(G, PREC, 1)
+
+    # poisoned twin: sample 0's prior is non-finite at the first update,
+    # so its stored moments become the neutral 1e6-variance stand-in
+    vo_bad = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    G_bad = G.at[0].set(jnp.nan)
+    PREC_bad = PREC.at[0].set(jnp.nan)  # 1/PREC fallback is non-finite too
+    with pytest.warns(UserWarning, match="non-finite"):
+        vo_bad.update(G_bad, PREC_bad, 0)
+    assert vo_bad._fallback_mask is not None
+    assert bool(vo_bad._fallback_mask[0])
+    assert np.isfinite(np.asarray(vo_bad.mean)).all()
+    assert float(jnp.max(vo_bad.vars[0])) >= 1e5   # the stand-in
+
+    # the NEXT update's learned vo_variances must match the clean twin's
+    # statistics computed over the good samples only -- not blow up by
+    # the 1e6 row.  Bound: within 10x of the clean twin (the good-sample
+    # beta differs slightly because one sample is excluded), and at
+    # least 1e3 below what including the stand-in would give.
+    vo_bad.update(G_bad, PREC_bad, 1)
+    v_ok = np.asarray(vo_ok.vo_variances)
+    v_bad = np.asarray(vo_bad.vo_variances)
+    assert np.isfinite(v_bad).all()
+    assert np.all(v_bad <= 10.0 * np.maximum(v_ok, 1e-12) + 1e-9)
+
+
 @pytest.mark.slow
 def test_f32_conditioning_matches_f64_oracle_at_config2_scale():
     """The dtype that PRODUCTION runs on the chip: VO conditioning +

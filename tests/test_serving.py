@@ -120,3 +120,18 @@ def test_predict_validates_batch(bundle, served_model):
         bundle.predict(x, F[:2])
     with pytest.raises(ValueError):
         bundle.predict(x[:0], F[:0])
+    with pytest.raises(ValueError, match="image shape"):
+        bundle.predict(x[:, :-1], F)
+    with pytest.raises(ValueError, match="feature dim"):
+        bundle.predict(x, F[:, :-1])
+
+
+def test_predict_casts_input_dtype(bundle, served_model):
+    """x64-enabled callers hand in float64 arrays; predict must cast to
+    the exported dtype instead of failing deep in the StableHLO call."""
+    _, _, _, _, dim_F = served_model
+    x, F = _request(4, dim_F)
+    y32 = bundle.predict(x, F)
+    y64 = bundle.predict(np.asarray(x, np.float64),
+                         np.asarray(F, np.float64))
+    np.testing.assert_array_equal(np.asarray(y32), np.asarray(y64))
