@@ -434,6 +434,11 @@ class VirtualObservablesEnsemble:
         if self.fixed_precision or self._mean is None:
             return
         fb = self._fallback_mask
+        if fb is not None and bool(fb.all()):
+            # zero clean samples: no evidence to update from -- keep the
+            # previous beta/alpha rather than collapsing vo_variances to
+            # ~BETA_0/ALPHA_0 (extreme false confidence from an empty sum)
+            return
         if fb is not None and bool(fb.any()):
             # exclude contained-failure samples: their huge-variance
             # stand-ins would inflate beta_j ensemble-wide (the exact

@@ -195,13 +195,25 @@ class GaussianRandomField:
     def max_sample_batch(self) -> int:
         """Largest on-device sampling batch that keeps the sampler's
         intermediates bounded (~256 MB per (n, my, mx) array on the
-        fft/matmul-DFT path, which holds ~6 of them live: at 512^2 the
-        embedding grid is 1024^2, so an unbounded 1024-batch draw is a
+        fft path, which holds ~6 of them live: at 512^2 the embedding
+        grid is 1024^2, so an unbounded 1024-batch draw is a
         4 GB-per-array OOM).  Dense (KL/Cholesky) paths are cheap."""
-        if self._resolved_method == "fft":
-            my, mx = self._fft_factor.shape
-            return max(8, int(2 ** 26 // (my * mx)))
-        return 4096
+        if self._resolved_method != "fft":
+            return 4096
+        from ..utils.backend import effective_platform
+        my, mx = self._fft_factor.shape
+        # bytes per element of the on-device draw: real f32/f64 on the
+        # TPU matmul-DFT path, complex64/128 on the generic fft path
+        fw = jnp.empty(0).dtype.itemsize          # 4, or 8 under x64
+        per = fw if effective_platform() == "tpu" else 2 * fw
+        cap = max(8, int(2 ** 28 // (per * my * mx)))
+        # grids <= 256^2 (f32 embedding <= 512^2) ran at chunk 1024 in
+        # every recorded study without OOM: keep their chunk stream --
+        # and so the dataset a given seed yields -- unchanged; the
+        # bound exists for 512^2 and beyond
+        if per * my * mx <= 4 * 512 * 512:
+            cap = max(cap, 1024)
+        return cap
 
     def sample(self, key: jax.Array, batch_size: Optional[int] = None,
                gamma: Optional[jnp.ndarray] = None, dtype=jnp.float32) -> jnp.ndarray:

@@ -301,6 +301,17 @@ def test_contained_failure_does_not_poison_precision(setup):
     assert np.isfinite(v_bad).all()
     assert np.all(v_bad <= 10.0 * np.maximum(v_ok, 1e-12) + 1e-9)
 
+    # degenerate case: EVERY sample failed -> no evidence; the precision
+    # update must be skipped (previous beta kept), not collapse the
+    # variances to ~BETA_0/ALPHA_0 (false near-exactness from zero data)
+    vo_all = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    with pytest.warns(UserWarning, match="non-finite"):
+        vo_all.update(jnp.full_like(G, jnp.nan), jnp.full_like(PREC, jnp.nan), 0)
+    v_before = np.asarray(vo_all.vo_variances).copy()
+    with pytest.warns(UserWarning, match="non-finite"):
+        vo_all.update(jnp.full_like(G, jnp.nan), jnp.full_like(PREC, jnp.nan), 1)
+    np.testing.assert_array_equal(np.asarray(vo_all.vo_variances), v_before)
+
 
 @pytest.mark.slow
 def test_f32_conditioning_matches_f64_oracle_at_config2_scale():

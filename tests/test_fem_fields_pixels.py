@@ -87,6 +87,22 @@ def test_grf_fft_matmul_paths_agree():
     np.testing.assert_allclose(a, b, atol=5e-6)
 
 
+def test_grf_max_sample_batch_bounds_memory():
+    """The sampler's on-device batch cap shrinks with the embedding size
+    (512^2 fields OOM at an unbounded 1024-chunk) but never below 8, and
+    never disturbs the chunk stream of <=256^2 grids on the TPU path."""
+    caps = []
+    for n in (64, 128, 256, 512):
+        rf = GaussianRandomField.from_image(n, n, 0.4, 0.8, 0.08,
+                                            method="fft")
+        caps.append(rf.max_sample_batch)
+    assert all(c >= 8 for c in caps)
+    assert all(a >= b for a, b in zip(caps, caps[1:]))  # monotone in size
+    # dense paths are unbounded in practice
+    rf_dense = GaussianRandomField.from_image(16, 16, 0.4, 0.8, 0.2)
+    assert rf_dense.max_sample_batch == 4096
+
+
 def test_convert_log_mean_std():
     mu, sigma = convert_log_mean_std(1.0, 0.5)
     # moments of the log-normal must reproduce mean/std
