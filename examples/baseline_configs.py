@@ -215,6 +215,27 @@ def config4(iterations=2000):
     return _run(p, dl, dlu, iterations)
 
 
+def config512(iterations=3000):
+    """Beyond BASELINE.json: the config-4 recipe one octave up -- 8^2
+    embedded CGM against a 512^2 FOM (num_refines=6; 263,169 fine nodes,
+    261,121 free dofs per solve), amortized encoder, f32 MG-PCG label
+    solves.  The reference cannot express this scale at all (its random
+    field sampler is capped at 8192 dofs = 90^2, RandomField.py:43, and
+    its labels come from per-sample scipy solves)."""
+    p = TrainerParameters()
+    p.identifier = "highres128"
+    p.margs = {"num_refines": 6, "nx_rom": 8, "ny_rom": 8}  # FOM 512^2
+    p.trainer.update(lr_init=1e-3, N_monitor_interval=500)
+    p.scheduler = {"milestones": [1000, 2000], "factor": 0.5}
+    p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=0,
+                  N_vo=0, N_val=32, armortized_bs=16, vo_spec={})
+    rf = GaussianRandomField.from_image(512, 512, 0.4, 0.8, 0.08,
+                                        method="fft")
+    dl, dlu = _loaders(rf, 64 + 32, 1024)
+    return _run(p, dl, dlu, iterations, ckpt_dir="results/config512_ckpt",
+                seg=500)
+
+
 def config5():
     """4096 batched PDE solves/step uncertainty sweep."""
     import subprocess
@@ -226,7 +247,8 @@ def config5():
 
 
 CONFIGS = {"1": config1, "2": config2, "2e": config2e, "2h": config2h,
-           "2he": config2he, "3": config3, "4": config4, "5": config5}
+           "2he": config2he, "3": config3, "4": config4, "5": config5,
+           "512": config512}
 
 
 if __name__ == "__main__":

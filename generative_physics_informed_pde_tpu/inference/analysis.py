@@ -10,10 +10,35 @@ function over the dataset.
 from __future__ import annotations
 
 import dataclasses
+import math
+from math import prod as np_prod
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+
+# Largest MC-sample block (in array elements of the N x S_chunk x dim
+# working set) a single fused eval dispatch may materialise.  Above this
+# the eval streams over MC chunks with lax.map, accumulating first and
+# second moments -- at 512^2 (dim_y = 263,169) a one-shot S=128 eval
+# over 32 validation fields allocates >4 GB for Ys alone plus
+# propagation intermediates and crashed the v5e worker (HBM OOM); the
+# chunked path bounds the working set at ~0.5 GB regardless of grid.
+_EVAL_ELEMENT_BUDGET = 2 ** 27
+
+
+def _mc_chunk(n_monte_carlo: int, per_mc_elements: int,
+              budget: Optional[int] = None):
+    """Split ``n_monte_carlo`` into equal chunks whose N*chunk*dim
+    working set stays under ``budget`` elements (default: the module
+    budget, resolved at call time so tests can patch it).  Returns
+    (chunk, n_chunks); chunk * n_chunks >= n_monte_carlo (the effective
+    sample count is rounded up -- more MC samples, never fewer)."""
+    if budget is None:
+        budget = _EVAL_ELEMENT_BUDGET
+    chunk = max(1, min(n_monte_carlo, budget // max(per_mc_elements, 1)))
+    n_chunks = math.ceil(n_monte_carlo / chunk)
+    return chunk, n_chunks
 
 from . import variational as va
 from .likelihoods import (coefficient_of_determination, predictive_logscore,
@@ -113,18 +138,46 @@ class Analysis:
     def eval_all_y_fn(self, n_monte_carlo: int):
         """Build the jittable metric function (params, q, key) ->
         dict(relerr_y, r2_y, logscore_y, y_mean, y_std).  Replaces the
-        python loop of components.py:494-524 with one fused computation."""
+        python loop of components.py:494-524 with one fused computation.
 
-        def fn(params, q, key):
-            Ys = self.sample_predictive_y(params, q, key, n_monte_carlo)
-            y_mean = Ys.mean(axis=1)
-            y_std = Ys.std(axis=1, ddof=1)
+        When N * n_monte_carlo * dim_y exceeds the element budget (large
+        grids: 512^2 and up), the MC axis is streamed in lax.map chunks
+        with first/second-moment accumulation so the working set stays
+        bounded -- the one-shot variant OOMs the TPU worker at that
+        scale (see _EVAL_ELEMENT_BUDGET)."""
+        N, dim_y = self.data["Y"].shape[0], self.data["Y"].shape[-1]
+        chunk, n_chunks = _mc_chunk(n_monte_carlo, N * dim_y)
+
+        def metrics(y_mean, y_std):
             Y = self.data["Y"].astype(y_mean.dtype)
             relerr = jax.vmap(relative_error)(y_mean, Y).mean()
             logscore = jax.vmap(predictive_logscore)(Y, y_mean, y_std).mean()
             r2 = coefficient_of_determination(y_mean, Y)
             return {"relerr_y": relerr, "r2_y": r2, "logscore_y": logscore,
                     "y_mean": y_mean, "y_std": y_std}
+
+        if n_chunks == 1:
+            def fn(params, q, key):
+                Ys = self.sample_predictive_y(params, q, key, n_monte_carlo)
+                return metrics(Ys.mean(axis=1), Ys.std(axis=1, ddof=1))
+            return fn
+
+        S_eff = chunk * n_chunks  # MC count rounded UP to fill chunks
+
+        def fn(params, q, key):
+            keys = jax.random.split(key, n_chunks)
+
+            def body(k):
+                Ys = self.sample_predictive_y(params, q, k, chunk)
+                return Ys.sum(axis=1), jnp.square(Ys).sum(axis=1)
+
+            s1, s2 = jax.lax.map(body, keys)      # (n_chunks, N, dim_y)
+            s1, s2 = s1.sum(axis=0), s2.sum(axis=0)
+            y_mean = s1 / S_eff
+            # streamed E[y^2] - E[y]^2; clamp the f32 cancellation noise
+            var = jnp.maximum(
+                (s2 - S_eff * jnp.square(y_mean)) / (S_eff - 1), 1e-12)
+            return metrics(y_mean, jnp.sqrt(var))
 
         return fn
 
@@ -153,20 +206,48 @@ class Analysis:
         reconstruction (reference: components.py:568-590, 636-653), fully
         vmapped over the dataset."""
 
-        def fn(params, q, key):
-            k1, k2 = jax.random.split(key)
-            Zs = va.sample_all_components(q, k1, n_monte_carlo)  # (N, S, dz)
-            N, S, dz = Zs.shape
+        N = self.data["X"].shape[0]
+        dim_x = int(np_prod(self.data["X"].shape[1:]))
+        # DenseNet decode intermediates run ~8x the output pixels, so the
+        # x-eval budget is 8x tighter than the y-eval one
+        chunk, n_chunks = _mc_chunk(n_monte_carlo, N * dim_x,
+                                    budget=_EVAL_ELEMENT_BUDGET // 8)
+
+        def decode_chunk(params, q, k, S):
+            k1, k2 = jax.random.split(k)
+            Zs = va.sample_all_components(q, k1, S)  # (N, S, dz)
             (mean, logsigma), _ = self.model.apply_decoder(
-                params, batch_stats, Zs.reshape(N * S, dz), train=False)
+                params, batch_stats, Zs.reshape(N * S, -1), train=False)
             eps = jax.random.normal(k2, mean.shape, dtype=mean.dtype)
-            Xs = (mean + jnp.exp(logsigma) * eps).reshape((N, S, -1))
-            x_mean = Xs.mean(axis=1)
-            x_std = Xs.std(axis=1, ddof=1)
+            return (mean + jnp.exp(logsigma) * eps).reshape((N, S, -1))
+
+        def metrics(x_mean, x_std):
             X = self.data["X"].reshape(N, -1).astype(x_mean.dtype)
             relerr = jax.vmap(relative_error)(x_mean, X).mean()
             logscore = jax.vmap(predictive_logscore)(X, x_mean, x_std).mean()
             return {"relerr_x": relerr, "logscore_x": logscore}
+
+        if n_chunks == 1:
+            def fn(params, q, key):
+                Xs = decode_chunk(params, q, key, n_monte_carlo)
+                return metrics(Xs.mean(axis=1), Xs.std(axis=1, ddof=1))
+            return fn
+
+        S_eff = chunk * n_chunks
+
+        def fn(params, q, key):
+            keys = jax.random.split(key, n_chunks)
+
+            def body(k):
+                Xs = decode_chunk(params, q, k, chunk)
+                return Xs.sum(axis=1), jnp.square(Xs).sum(axis=1)
+
+            s1, s2 = jax.lax.map(body, keys)
+            s1, s2 = s1.sum(axis=0), s2.sum(axis=0)
+            x_mean = s1 / S_eff
+            var = jnp.maximum(
+                (s2 - S_eff * jnp.square(x_mean)) / (S_eff - 1), 1e-12)
+            return metrics(x_mean, jnp.sqrt(var))
 
         return fn
 

@@ -68,6 +68,34 @@ def test_analysis_from_encoder_and_eval_all(small_model):
     assert analysis.series["relerr_y"].iteration[-1] == 5
 
 
+def test_analysis_chunked_eval_matches_oneshot(small_model, monkeypatch):
+    """The streamed-moment MC-chunked eval (large grids) must agree with
+    the one-shot eval to within MC noise at a large sample count, and
+    must actually take the chunked path under a tiny element budget."""
+    from generative_physics_informed_pde_tpu.inference import analysis as an
+    physics, model, params, bs, data = small_model
+    d = dict(data["supervised"])
+    analysis, q = Analysis.from_encoder(model, params, bs, d)
+    S = 512
+    one_y = analysis.eval_all_y(params, q, jax.random.PRNGKey(2), S)
+    one_x = analysis.eval_all(params, bs, q, jax.random.PRNGKey(3), S)
+
+    # force chunking: budget admits only a handful of MC samples at once
+    per_mc = d["Y"].shape[0] * d["Y"].shape[-1]
+    monkeypatch.setattr(an, "_EVAL_ELEMENT_BUDGET", per_mc * 64)
+    assert an._mc_chunk(S, per_mc)[1] > 1  # chunked path engaged
+    analysis2 = Analysis(model=model, data=d)
+    chk_y = analysis2.eval_all_y(params, q, jax.random.PRNGKey(2), S)
+    chk_x = analysis2.eval_all(params, bs, q, jax.random.PRNGKey(3), S)
+
+    for a, b in zip(one_y, chk_y):  # (logscore, r2, relerr)
+        assert np.isfinite(b)
+        assert abs(a - b) < 0.15 * max(1.0, abs(a))
+    for k in ("relerr_x", "logscore_x"):
+        assert np.isfinite(chk_x[k])
+        assert abs(one_x[k] - chk_x[k]) < 0.15 * max(1.0, abs(one_x[k]))
+
+
 @pytest.mark.slow
 def test_trainer_energy_vo():
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
