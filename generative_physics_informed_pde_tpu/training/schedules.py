@@ -84,6 +84,19 @@ class PlateauController:
     bad_steps: int = 0
     scale: float = 1.0
 
+    def state_dict(self) -> dict:
+        """Mutable state for checkpointing (``best`` may be None; stored
+        as NaN to keep orbax leaf types stable)."""
+        return {"best": float("nan") if self.best is None else
+                float(self.best),
+                "bad_steps": int(self.bad_steps), "scale": float(self.scale)}
+
+    def load_state_dict(self, d: dict) -> None:
+        best = float(d["best"])
+        self.best = None if best != best else best  # NaN -> None
+        self.bad_steps = int(d["bad_steps"])
+        self.scale = float(d["scale"])
+
     def step(self, metric: float) -> float:
         metric = float(metric)
         better = (self.best is None or

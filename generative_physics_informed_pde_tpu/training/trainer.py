@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from functools import partial
 from typing import Any, Dict, Optional
 
@@ -137,6 +138,8 @@ class Trainer:
 
         self.state: Optional[TrainState] = None
         self._train_step = None
+        self._plateau = None
+        self._schedule_fn = None
         self._vo_state = None
         self._dl = None
         self._dlu = None
@@ -149,6 +152,14 @@ class Trainer:
         if margs:
             for key, val in margs.items():
                 mf.set(key, val)
+        if dargs:
+            # reference parity: dargs is deprecated/unused there too
+            # (training.py:224-226 'this is actually not used and handled
+            # externally') -- warn instead of silently discarding
+            warnings.warn(
+                "TrainerParameters.dargs is accepted for reference parity "
+                "but has no effect; configure data via DataFactory presets "
+                "or pass dl/dlu explicitly", stacklevel=2)
         return cls(mf=mf, **kwargs)
 
     from_identifier = FromIdentifier
@@ -289,10 +300,11 @@ class Trainer:
                 mode=scheduler_spec.get("mode", "max"), lr_init=lr)
             self.optimizer = optax.inject_hyperparams(optax.adam)(
                 learning_rate=lr)
-            schedule = make_schedule(None, lr)
+            self._schedule_fn = None  # lr comes from the plateau scale
         else:
             schedule = make_schedule(scheduler_spec, lr)
             self.optimizer = optax.adam(schedule)
+            self._schedule_fn = schedule  # for lr monitoring in _record
         n_mc = self.get("N_monte_carlo_elbo")
         if n_mc != self.model.n_mc:
             self.model = dataclasses.replace(self.model, n_mc=n_mc)
@@ -388,23 +400,28 @@ class Trainer:
                 writer=self.writer)
             X_val = data_val["X"]
 
+            # X_val rides as an ARGUMENT, not a closure constant -- the
+            # same no-constants rule as _build_train_step (at 512^2 the
+            # validation images alone are ~34 MB of HLO payload)
             @jax.jit
-            def encoder_q(params, batch_stats):
+            def encoder_q(params, batch_stats, X):
                 (mean, logsigma), _ = self.model.apply_encoder(
-                    params, batch_stats, X_val, train=False)
+                    params, batch_stats, X, train=False)
                 return {"mean": mean, "logsigma": logsigma}
 
-            self._encoder_q_fn = encoder_q
+            self._encoder_q_fn = lambda p, bs: encoder_q(p, bs, X_val)
         self.writer.logging_interval = self.get(
             "N_tensorboard_logging_interval")
 
         self._train_step = self._build_train_step()
         self._vo_propagate = None
         if data_vo is not None:
-            self._vo_propagate = jax.jit(
-                partial(self.model.propagate_vo_moments,
-                        data_vo=data_vo,
-                        n_monte_carlo=self.get("N_monte_carlo_vo")))
+            # data_vo as a runtime argument (no-closure-constants rule)
+            vo_prop = jax.jit(partial(self.model.propagate_vo_moments,
+                                      n_monte_carlo=self.get(
+                                          "N_monte_carlo_vo")))
+            self._vo_propagate = lambda params, key: vo_prop(
+                params, data_vo, key=key)
 
     # ------------------------------------------------------- jitted step
     def _build_train_step(self):
@@ -415,6 +432,13 @@ class Trainer:
         n_pe = self.get("N_PE_updates")
         normalize = self.get("normalize")
         l2_penalty = self.get("l2_penalty")
+        if self.get("l1_penalty") is not None:
+            # reference parity: setting l1_penalty raises there too
+            # (bottleneck/generative.py:280-281)
+            raise NotImplementedError(
+                "l1_penalty is declared but not implemented (the "
+                "reference raises NotImplementedError as well); use "
+                "l2_penalty")
         amortized = model.encoder is not None
 
         # the dataset shards are passed as ARGUMENTS, never closed over:
@@ -563,7 +587,10 @@ class Trainer:
             if self.update_vo():
                 self.update_virtual_observables(self.gn)
 
-            holdoff = self.gn < vo_hold
+            # holdoff only matters when a VO term exists; keep it False
+            # otherwise so non-VO runs compile ONE step executable
+            # instead of a holdoff=True/False pair per bucket
+            holdoff = self.use_vo() and self.gn < vo_hold
             vo_mean, vo_logsigma = (self._vo_state if self._vo_state
                                     is not None else dummy_vo)
 
@@ -663,6 +690,17 @@ class Trainer:
 
         self._monitor["elbo_iter"].append(gn)
         self._monitor["elbo"].append(float(logs["elbo"]))
+        # lr series (reference: training.py:426) -- plateau scale or the
+        # static schedule evaluated at the current step
+        lr_now = (self._plateau.lr_init * self._plateau.scale
+                  if self._plateau is not None
+                  else float(self._schedule_fn(gn))
+                  if getattr(self, "_schedule_fn", None) is not None
+                  else None)
+        if lr_now is not None:
+            self._monitor["lr"].append(float(lr_now))
+            self._monitor["lr_iter"].append(gn)
+            self.writer.add_scalar("Monitoring/lr", float(lr_now), gn)
 
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 23), gn)
         self._analysis.eval_all_y(self.state.params, self.state.pe_q, key,
@@ -676,6 +714,8 @@ class Trainer:
             if self._analysis_encoder is not None:
                 q_enc = self._encoder_q_fn(self.state.params,
                                            self.state.batch_stats)
+                # _final MC count here is intentional: the reference uses
+                # it at this exact monitor site (training.py:439)
                 logscore, r2, relerr = self._analysis_encoder.eval_all_y(
                     self.state.params, q_enc, key,
                     self.get("N_monte_carlo_analysis_final"))
@@ -716,11 +756,11 @@ class Trainer:
         energy-VO temperature is a pure function of the restored step
         counter.  Tested: test_trainer_vo_checkpoint_resume."""
         from .checkpoint import save_train_state
-        state = dataclasses.asdict(self.state) if not hasattr(
-            self.state, "replace") else self.state
-        meta = {"state": state,
+        meta = {"state": self.state,
                 "gn": self._global_iteration_counter,
                 "runtime": self._global_runtime}
+        if self._plateau is not None:
+            meta["plateau"] = self._plateau.state_dict()
         return save_train_state(path, meta)
 
     def export_surrogate(self, path: Optional[str] = None, *,
@@ -751,10 +791,22 @@ class Trainer:
     def restore_checkpoint(self, path: str):
         from .checkpoint import restore_train_state
         like = {"state": self.state, "gn": 0, "runtime": 0.0}
-        meta = restore_train_state(path, like=like)
-        self.state = jax.tree_util.tree_map(jnp.asarray, meta["state"])
-        if not isinstance(self.state, TrainState):
-            self.state = TrainState(**meta["state"])
+        if self._plateau is not None:
+            like["plateau"] = self._plateau.state_dict()
+        try:
+            meta = restore_train_state(path, like=like)
+        except Exception:
+            if "plateau" not in like:
+                raise
+            # older checkpoint written before plateau state was persisted
+            like.pop("plateau")
+            meta = restore_train_state(path, like=like)
+        state = jax.tree_util.tree_map(jnp.asarray, meta["state"])
+        if not isinstance(state, TrainState):
+            state = TrainState(**state)
+        self.state = state
+        if self._plateau is not None and meta.get("plateau") is not None:
+            self._plateau.load_state_dict(meta["plateau"])
         self._global_iteration_counter = int(meta["gn"])
         self._global_runtime = float(meta["runtime"])
 
@@ -782,6 +834,15 @@ def CreateTrainer(params: TrainerParameters, dl, dlu) -> Trainer:
 def CreateTrainerFromPermutation(params: TrainerParameters, permutation=None,
                                  permutation_u=None, dl=None, dlu=None,
                                  datasets=None, BCE_encoding=None) -> Trainer:
+    if params.optimizer:
+        # the reference defines this tier but never consumes it either
+        # (training.py:29 is its only appearance); Adam hyperparameters
+        # beyond the lr/schedule are not configurable -- warn rather than
+        # let an experiment silently record settings that were not applied
+        warnings.warn(
+            "TrainerParameters.optimizer is accepted for reference parity "
+            "but has no effect; the optimizer is Adam(lr/schedule)",
+            stacklevel=2)
     trainer = Trainer.FromIdentifier(
         params.identifier, params.margs, params.dargs, folder=params.folder,
         comment=params.comment, debug=params.debug, seed=params.seed)

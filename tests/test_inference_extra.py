@@ -174,6 +174,49 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_plateau_state_checkpoint_roundtrip(tmp_path):
+    """A resumed plateau run must keep the decayed LR: the controller's
+    scale/best/bad_steps ride in the checkpoint, so the first post-resume
+    monitor point cannot snap the LR back to lr_init."""
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True   # monitor every 5 steps
+    p.trainer["lr_init"] = 1e-2
+    p.scheduler = {"patience": 0, "factor": 0.5, "min_lr": 1e-4,
+                   "threshold": 1e12}  # always decay
+    p.data.update(N_u=8, N_s=8, N_u_max=8, N_s_max=8, N_vo_max=0, N_vo=0,
+                  N_val=4, armortized_bs=4, vo_spec={})
+
+    def make():
+        dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
+        dlu = DataLoader.from_sampler(rf, 8, key=jax.random.PRNGKey(1))
+        dlu.lock_physics_assembly()
+        return CreateTrainerFromPermutation(
+            p, permutation=np.arange(16), permutation_u=np.arange(8),
+            dl=dl, dlu=dlu)
+
+    tr = make()
+    # monitor points fire after local iterations mi+1, 2mi+1 (reference
+    # loop-index semantics); 12 steps -> two plateau.step calls -> decay
+    tr.run(12, verbose=False)
+    scale = tr._plateau.scale
+    assert scale < 1.0  # decayed at least once
+    ck = str(tmp_path / "ckpt")
+    tr.save_checkpoint(ck)
+
+    tr2 = make()
+    tr2.restore_checkpoint(ck)
+    assert tr2._plateau.scale == scale
+    assert tr2._plateau.best == tr._plateau.best
+    assert tr2._plateau.bad_steps == tr._plateau.bad_steps
+    # the restored opt-state LR survives the next monitor point
+    tr2.run(5, verbose=False)
+    lr_now = float(tr2.state.opt_state.hyperparams["learning_rate"])
+    assert lr_now <= 1e-2 * scale + 1e-12
+
+
+@pytest.mark.slow
 def test_trainer_plateau_scheduler():
     rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
     dl = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(0))
