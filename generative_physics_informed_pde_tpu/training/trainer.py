@@ -55,8 +55,16 @@ DEFAULT_CONFIG = dict(
 )
 
 # allowed fused-scan lengths: keeps the number of distinct compilations of
-# the scanned train step small while still amortising dispatch latency
-_SCAN_BUCKETS = (1, 2, 3, 4, 5, 6, 10, 25, 50, 100, 250, 500, 1000)
+# the scanned train step small while still amortising dispatch latency.
+# Capped at 100: (a) the chunk sweep measured throughput flat from 25
+# fused steps up (PARITY.md, benchmarks/step_roofline.py: 309.5/308.8/
+# 310.9 steps/s at 25/50/100), so longer scans buy nothing; (b) the
+# scan-500 executable of the 512^2 training step crashes this TPU
+# runtime's worker process outright (benchmarks/scan512_repro.py) --
+# the third at-scale runtime fault after vmap-of-while_loop (PARITY
+# config-5 note) and MG-in-CG fusion (benchmarks/mg_repro.py), while
+# buckets <= 100 run 512^2 cleanly.
+_SCAN_BUCKETS = (1, 2, 3, 4, 5, 6, 10, 25, 50, 100)
 
 DEBUG_CONFIG = dict(
     # reference: training.py:192-203 debug shadow
