@@ -106,7 +106,8 @@ class QuerryPointEnsemble:
         alpha (N, m) = V^T f_eff (reference: VirtualObservables.py:61-69)."""
         KV = self.apply_Kff(V_free)                    # (N, d, m)
         Gamma = jnp.swapaxes(KV, -1, -2)               # (N, m, d)
-        alpha = jnp.einsum("ndm,nd->nm", V_free, self.f_eff())
+        alpha = jnp.einsum("ndm,nd->nm", V_free, self.f_eff(),
+                           precision=jax.lax.Precision.HIGHEST)
         return Gamma, alpha
 
 
@@ -198,8 +199,11 @@ class RadialBasisFunctionSampler(BaseSampler):
         return -np.ones(self.m)
 
     def sample_V(self, key, N: int, dtype) -> jnp.ndarray:
-        r0 = jax.random.uniform(key, (N, self.N_aux, 1, 2))
         coords = jnp.asarray(self.coords, dtype=dtype)
+        # centers span the actual free-node bounding box, not a hardcoded
+        # unit square -- grids support [0,lx]x[0,ly] domains (fem/grid.py)
+        lo, hi = coords.min(axis=0), coords.max(axis=0)
+        r0 = lo + (hi - lo) * jax.random.uniform(key, (N, self.N_aux, 1, 2))
         d2 = ((coords[None, None, :, :] - r0) ** 2).sum(-1)  # (N, m, n_free)
         V = jnp.exp(-d2 / (self.l ** 2)).astype(dtype)
         return jnp.swapaxes(V, -1, -2)  # (N, n_free, m)
@@ -294,9 +298,15 @@ def _condition_single(Gamma, alpha, g, prec, vo_variances, eps):
     Lam_s = Lam / d[:, None] / d[None, :]
     Lam_s = Lam_s + eps * jnp.eye(Lam.shape[0], dtype=Lam.dtype)
     L = jnp.linalg.cholesky(Lam_s)
-    resid = (Gamma @ g - alpha) / d
+    # residual + posterior-mean matmuls at HIGHEST too: near convergence
+    # the true residual is small, so the ~1e-3 bf16-pass error of a
+    # default-precision Gamma @ g would dominate it (same asymmetry the
+    # Gram einsum fix above addresses); at m ~ 225 this costs nothing
+    resid = (jnp.einsum("md,d->m", Gamma, g,
+                        precision=jax.lax.Precision.HIGHEST) - alpha) / d
     solvec = jax.scipy.linalg.cho_solve((L, True), resid) / d
-    mean = g - cov * (Gamma.T @ solvec)
+    mean = g - cov * jnp.einsum("md,m->d", Gamma, solvec,
+                                precision=jax.lax.Precision.HIGHEST)
     A = Gamma * cov[None, :]                      # (m, d)
     AL = jax.scipy.linalg.solve_triangular(L, A / d[:, None], lower=True)
     post_sub = jnp.sum(AL * AL, axis=0)
@@ -369,7 +379,6 @@ class VirtualObservablesEnsemble:
         self._prec_alpha = 0.5 * self.N + self.ALPHA_0
         self._prec_beta = jnp.ones(self.m, dtype=self.dtype)
         self.vo_variances = self._mean_vo_variances()
-        self._precision_initialized = False
         # jit the test-function sampling: the stencil-based Gamma assembly
         # is many small ops and eager dispatch is pathological on remote
         # TPU runtimes
@@ -427,10 +436,9 @@ class VirtualObservablesEnsemble:
         self._alpha = alpha.astype(self.dtype)
 
     def update_vo_precision(self, iteration: int, writer=None):
-        """(reference: VirtualObservables.py:971-998)"""
-        if not self._precision_initialized:
-            self._precision_initialized = True
-            return
+        """(reference: VirtualObservables.py:971-998).  The first call is
+        a no-op via the ``_mean is None`` check: conditioning has not run
+        yet, so there are no residuals to update the Gamma posterior from."""
         if self.fixed_precision or self._mean is None:
             return
         fb = self._fallback_mask
@@ -542,9 +550,12 @@ class LinearTemperatureSchedule(TemperatureSchedule):
         assert self.num_steps > 1 and self.T_final < self.T_init
 
     def get_temperature(self, iteration):
-        if iteration > self.num_steps:
-            raise RuntimeError("temperature schedule exhausted")
-        frac = iteration / (self.num_steps - 1)
+        # hold T_final once exhausted.  Deviation from the reference,
+        # which raises past num_steps AND overshoots at iteration ==
+        # num_steps (frac = n/(n-1) > 1 extrapolates BELOW T_final --
+        # for a linear schedule that can go negative, and 1/T then NaNs
+        # the pseudo-labels).
+        frac = min(iteration, self.num_steps - 1) / (self.num_steps - 1)
         return self.T_init + frac * (self.T_final - self.T_init)
 
 
@@ -561,9 +572,8 @@ class ExponentialTemperatureSchedule(TemperatureSchedule):
         self._lmbda = -np.log(self.T_final / self.T_init)
 
     def get_temperature(self, iteration):
-        if iteration > self.num_steps:
-            raise RuntimeError("temperature schedule exhausted")
-        t = iteration / (self.num_steps - 1)
+        # hold T_final once exhausted (see LinearTemperatureSchedule)
+        t = min(iteration, self.num_steps - 1) / (self.num_steps - 1)
         return self.T_init * np.exp(-self._lmbda * t)
 
 
@@ -614,7 +624,8 @@ class EnergyVirtualObservablesEnsemble:
         self._forced_temperature = value
 
     def set_temperature(self, value):
-        assert value >= 0
+        if not value > 0:  # inv_T = 1/T is used directly
+            raise ValueError(f"temperature must be > 0, got {value}")
         self._temperature = value
 
     def set_temperature_schedule(self, type: str, T_init, T_final, num_steps):
@@ -647,14 +658,16 @@ class EnergyVirtualObservablesEnsemble:
 
     def update_vo_precision(self, iteration, writer=None):
         """Temperature annealing (reference: VirtualObservables.py:758-766,
-        1031-1037)."""
+        1031-1037).  With no schedule set, a temperature fixed via
+        ``set_temperature`` (or the constructor default) is kept as-is --
+        the reference's EnergyVirtualObservable.update never touches the
+        schedule, so manual-temperature operation must stay usable."""
         if self._forced_temperature is not None:
             return
-        if self._schedule is None:
-            raise RuntimeError("no temperature schedule set")
-        self._temperature = self._schedule.get_temperature(iteration)
+        if self._schedule is not None:
+            self._temperature = self._schedule.get_temperature(iteration)
         if writer is not None:
-            writer.add_scalar("Monitoring/Temperature", self._temperature,
+            writer.add_scalar("Monitor/Temperature", self._temperature,
                               global_step=iteration)
 
     @cached_property
@@ -691,7 +704,14 @@ class EnergyVirtualObservablesEnsemble:
                         in_axes=1, out_axes=1)(Vn)  # (d, s)
                     Msub = Vn.T @ AV
                     r = Vn.T @ (apply_A(alpha, prec, inv_T, mn) - bn)
-                    return mn - Vn @ jnp.linalg.solve(Msub, r)
+                    new = mn - Vn @ jnp.linalg.solve(Msub, r)
+                    # containment: a numerically singular Msub makes
+                    # jnp.linalg.solve return NaN silently (unlike the
+                    # reference's np.linalg.solve, which raises); since
+                    # _mean is the carry for every later update, one bad
+                    # subspace draw would poison the run permanently --
+                    # keep the previous iterate for that sample instead
+                    return jnp.where(jnp.all(jnp.isfinite(new)), new, mn)
 
                 return jax.vmap(single)(qpe.alpha.astype(dtype), PREC, b,
                                         mean, V)

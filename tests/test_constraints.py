@@ -435,6 +435,71 @@ def test_energy_vo_converges_to_minimizer(setup):
     assert vo.vars.shape == Y.shape
 
 
+def test_temperature_schedules_hold_final_value():
+    from generative_physics_informed_pde_tpu.constraints.virtual_observables \
+        import LinearTemperatureSchedule, ExponentialTemperatureSchedule
+    lin = LinearTemperatureSchedule(T_init=1.0, T_final=1e-4, num_steps=100)
+    # the reference overshoots at iteration == num_steps (negative T for a
+    # linear schedule -> 1/T NaNs the pseudo-labels) and raises past it;
+    # here the schedule holds T_final instead
+    assert lin.get_temperature(99) == pytest.approx(1e-4)
+    assert lin.get_temperature(100) == pytest.approx(1e-4)
+    assert lin.get_temperature(10_000) == pytest.approx(1e-4)
+    assert all(lin.get_temperature(i) > 0 for i in range(0, 200, 7))
+    exp = ExponentialTemperatureSchedule(T_init=1.0, T_final=1e-4,
+                                         num_steps=50)
+    assert exp.get_temperature(49) == pytest.approx(1e-4)
+    assert exp.get_temperature(500) == pytest.approx(1e-4)
+
+
+def test_energy_vo_manual_temperature_and_containment(setup):
+    physics, qpe, Y, _ = setup
+    fom = physics["fom"]
+    coords = fom.grid.node_coords[fom.profile.free_dofs]
+    sampler = RadialBasisFunctionSampler(l=0.3, N_aux=6, coords=coords)
+    vo = EnergyVirtualObservablesEnsemble(qpe, num_iterations_per_update=3,
+                                          sampler=sampler, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        vo.set_temperature(0.0)  # inv_T = 1/T
+    # manual temperature without a schedule is usable (the reference's
+    # update never touches the schedule)
+    vo.set_temperature(0.5)
+    G = jnp.zeros((qpe.N, qpe.dim_out))
+    PREC = jnp.full((qpe.N, qpe.dim_out), 1e-3)
+    vo.update(G, PREC, 0)
+    assert vo.temperature == 0.5
+    assert bool(jnp.all(jnp.isfinite(vo.mean)))
+    mean_before = np.asarray(vo.mean).copy()
+
+    # containment: a rank-deficient subspace (all-zero test functions)
+    # makes Msub singular and jnp.linalg.solve return NaN silently; the
+    # iterate must survive unchanged instead of being poisoned
+    class ZeroSampler:
+        def sample_V(self, key, N, dtype):
+            return jnp.zeros((N, coords.shape[0], 4), dtype=dtype)
+
+    vo2 = EnergyVirtualObservablesEnsemble(qpe, num_iterations_per_update=2,
+                                           sampler=ZeroSampler(),
+                                           dtype=jnp.float64)
+    vo2.set_temperature(0.5)
+    vo2.update(G, PREC, 0)
+    assert bool(jnp.all(jnp.isfinite(vo2.mean)))
+    # fresh run with the degenerate sampler keeps the zero-initialised mean
+    np.testing.assert_allclose(np.asarray(vo2.mean), 0.0)
+    del mean_before
+
+
+def test_rbf_centers_follow_coordinate_box():
+    """Centers must span the free-node bounding box, not a hardcoded unit
+    square -- on a domain offset from [0,1]^2 the old code placed every
+    center exp(-d^2/l^2) ~ 0 away from all nodes."""
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.uniform(5.0, 6.0, (40, 2)))  # far from [0,1]^2
+    sampler = RadialBasisFunctionSampler(l=0.3, N_aux=8, coords=coords)
+    V = sampler.sample_V(jax.random.PRNGKey(0), N=2, dtype=jnp.float64)
+    assert float(V.max()) > 0.5  # some node sits near some center
+
+
 def test_build_from_spec(setup):
     physics, qpe, Y, bce = setup
 
