@@ -94,7 +94,7 @@ class GenerativeModel:
 
     # ------------------------------------------------------- param init
     def init_params(self, key, datasets: Dict[str, dict],
-                    image_shape) -> dict:
+                    image_shape) -> tuple:
         """Create the full parameter pytree.  ``datasets`` maps modality ->
         dict with at least 'X' (to size the per-datapoint posteriors,
         reference register_* generative.py:142-179)."""
@@ -232,6 +232,10 @@ class GenerativeModel:
             ent = 0.0
 
         mu_y, logsigmas_y = self.apply_g(params, X_sample, F_rep)
+        # preprocess_y applied to logsigmas too, and NOT applied in the
+        # VO y-likelihood: both are verbatim reference behavior
+        # (generative.py:439,473 vs :312) -- odd for affine preprocessors,
+        # kept for parity
         logL_y = diagonal_gaussian_log_likelihood(
             self._preprocess(Y_rep), self._preprocess(mu_y),
             2 * self._preprocess(logsigmas_y)) / S
@@ -263,11 +267,12 @@ class GenerativeModel:
         (mean, logsigma), bs_e = _enc if _enc is not None else \
             self.apply_encoder(params, batch_stats, X_batch, train=train,
                                key=kd1)
-        Z = reparametrize(k1, mean, logsigma)
         if decoded is None:
+            Z = reparametrize(k1, mean, logsigma)
             predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
                                                  train=train, key=kd2)
         else:
+            # the fused path already sampled Z (same k1 split) and decoded
             predict_x, bs_f = decoded
         logL_x = self.random_field_likelihood(predict_x, X_batch)
         DKL = unit_gaussian_kld(mean, 2 * logsigma)
@@ -358,6 +363,10 @@ class GenerativeModel:
         elbo = logL_x + logL_y + logL_X + ent - DKL
         logs.update({"vo_logL_x": logL_x, "vo_logL_y": logL_y,
                      "vo_DKL": DKL, "vo_elbo": elbo})
+        if self.independent_X:
+            # X-channel components logged like the supervised term, so
+            # vo_elbo is reconcilable from its logged parts
+            logs.update({"vo_logL_X": logL_X, "vo_entropy_X": ent})
         new_bs = dict(batch_stats)
         new_bs["f"] = bs_f
         return elbo, new_bs, logs
@@ -378,7 +387,14 @@ class GenerativeModel:
         bs = batch_stats
 
         dec_u = dec_s = dec_v = enc_u = None
-        if self.fuse_decodes and self.mc_sharding is None:
+        # fusion requires the amortized encoder when an unsupervised term
+        # exists: without it the unsupervised decode is not part of the
+        # fused batch, and handing the supervised/VO terms the pre-fusion
+        # batch_stats would silently drop the unsupervised batch's
+        # BatchNorm running-stat update
+        fuse_ok = self.fuse_decodes and self.mc_sharding is None and (
+            self.encoder is not None or data.get("unsupervised") is None)
+        if fuse_ok:
             dec_u, dec_s, dec_v, enc_u, bs = self._fused_decode(
                 params, bs, data, (ks, ku, kv),
                 vo_active=data.get("vo") is not None and vo_state is not None,
@@ -493,6 +509,11 @@ class GenerativeModel:
         """Monte-Carlo push of q through gp o g for every VO sample at once
         -- (Y_mean, Y_std), each (N_vo, dim_y).  Replaces the per-sample
         loop of generative.py:198-207 with one vmapped batch."""
+        if n_monte_carlo < 2:
+            # std(ddof=1) over one sample is NaN, which would silently
+            # poison the VO precision downstream
+            raise ValueError("N_monte_carlo_vo must be >= 2 "
+                             f"(got {n_monte_carlo})")
         k1, k2, k3 = jax.random.split(key, 3)
         F = data_vo["F_ROM_BC"]
         N = F.shape[0]
@@ -515,9 +536,17 @@ class GenerativeModel:
 
 def _l2_norm_sum(tree) -> jnp.ndarray:
     """Sum of per-leaf L2 norms (reference sums torch.norm per parameter,
-    generative.py:270-276)."""
+    generative.py:270-276).  Safe-norm form: jnp.linalg.norm's gradient
+    at an all-zero leaf is NaN (0/0), and zero-initialized leaves are
+    guaranteed (Dense biases, the decoder's logsigma param) -- torch
+    defines the subgradient of norm at 0 as 0, so match that; the VALUE
+    is identical everywhere."""
+    def safe_norm(leaf):
+        sq = jnp.sum(jnp.square(leaf))
+        return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
     leaves = jax.tree_util.tree_leaves(tree)
-    return sum(jnp.linalg.norm(leaf.ravel()) for leaf in leaves)
+    return sum(safe_norm(leaf) for leaf in leaves)
 
 
 @dataclasses.dataclass
@@ -534,7 +563,18 @@ class DiscriminativeModel:
     model: GenerativeModel
 
     def extract_params(self, params) -> dict:
-        return jax.tree_util.tree_map(lambda x: x, params)  # value snapshot
+        # a REAL buffer copy: the trainer's jitted step donates the whole
+        # TrainState (donate_argnums), which deletes the old buffers --
+        # an identity tree_map would hand out those soon-dead arrays and
+        # the surrogate would raise 'Array has been deleted' after the
+        # next training step
+        return jax.tree_util.tree_map(jnp.array, params)
+
+    def extract(self, params, batch_stats) -> tuple:
+        """Snapshot (params, batch_stats) for serving while training
+        continues -- batch_stats live in the donated TrainState too, so
+        they need the same copy treatment as the parameters."""
+        return self.extract_params(params), self.extract_params(batch_stats)
 
     def __call__(self, params, batch_stats, x, F, *, use_encoder: bool = True):
         if use_encoder:

@@ -184,6 +184,70 @@ def test_generative_model_elbo_gradients(physics):
     assert float(jnp.abs(grads["g"]["logsigmas_y"]).max()) > 0
 
 
+def test_l2_penalty_gradients_finite_at_fresh_init(physics):
+    """Fresh params contain all-zero leaves (Dense biases, the decoder's
+    logsigma param); jnp.linalg.norm's gradient there is NaN (0/0), so an
+    l2_penalty run would NaN on step 1 without the safe-norm form (torch
+    defines the subgradient of norm at 0 as 0)."""
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=None,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    Ns = 3
+    X = jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(Ns, physics["fom"].dim_out)),
+                    dtype=jnp.float32)
+    F = jnp.zeros((Ns, physics["rom"].grid.n_nodes), dtype=jnp.float32)
+    data = {"supervised": {"X": X, "Y": Y, "F_ROM_BC": F}}
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    # precondition: a zero leaf really exists in the penalized subtree
+    assert any(float(jnp.abs(leaf).max()) == 0.0
+               for leaf in jax.tree_util.tree_leaves(params["f"]))
+
+    def loss(p):
+        e, _, _ = model.elbo(p, bs, data, jax.random.PRNGKey(1),
+                             l2_penalty=1e-4)
+        return -e
+
+    grads = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(g_)))
+               for g_ in jax.tree_util.tree_leaves(grads))
+
+
+def test_extract_params_is_a_real_copy(physics):
+    """extract_params must survive the trainer's donated buffers: the
+    jitted step donates state.params, deleting the old arrays."""
+    from generative_physics_informed_pde_tpu.models import DiscriminativeModel
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=None,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(0.4, 0.8, (2, 32, 32)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(2, physics["fom"].dim_out)),
+                    dtype=jnp.float32)
+    F = jnp.zeros((2, physics["rom"].grid.n_nodes), dtype=jnp.float32)
+    params, bs = model.init_params(
+        jax.random.PRNGKey(0),
+        {"supervised": {"X": X, "Y": Y, "F_ROM_BC": F}}, (32, 32))
+    snap, snap_bs = DiscriminativeModel(model).extract(params, bs)
+    # simulate donation: delete the original buffers
+    for leaf in jax.tree_util.tree_leaves((params, bs)):
+        leaf.delete()
+    for leaf in jax.tree_util.tree_leaves((snap, snap_bs)):
+        assert not leaf.is_deleted()
+        _ = float(jnp.asarray(leaf).sum())  # still readable
+
+
 @pytest.mark.slow
 def test_elbo_multi_mc_samples(physics):
     """n_mc > 1 gives an unbiased lower-variance ELBO: with deterministic
