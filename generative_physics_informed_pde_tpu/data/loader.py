@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import time
+import weakref
 from typing import Dict, Optional
 
 import numpy as np
@@ -75,7 +76,17 @@ class DataLoader:
         return self.N
 
     def register_dataset(self, dataset):
-        self._dependent_datasets.append(dataset)
+        # weak refs: ablation loops create many short-lived DataSet views
+        # over one loader; strong refs would pin every superseded view
+        # (and its device-array cache) for the loader's lifetime
+        self._dependent_datasets.append(weakref.ref(dataset))
+
+    def _live_datasets(self):
+        out = [r() for r in self._dependent_datasets]
+        self._dependent_datasets = [r for r, d in
+                                    zip(self._dependent_datasets, out)
+                                    if d is not None]
+        return [d for d in out if d is not None]
 
     # --------------------------------------------------------- assembly
     def assemble_BCE(self, physics, rng: Optional[np.random.Generator] = None):
@@ -107,6 +118,11 @@ class DataLoader:
             if BCE is not None:
                 assert BCE.check_if_registered("fom")
                 assert BCE.check_if_registered("rom")
+                if len(BCE) != self.N:
+                    raise ValueError(
+                        f"BCE has {len(BCE)} boundary conditions for "
+                        f"{self.N} fields -- a mismatched ensemble would "
+                        "silently mislabel the dataset")
                 self._BCE = BCE
             else:
                 self.assemble_BCE(physics, rng)
@@ -147,6 +163,11 @@ class DataLoader:
             Y[sl] = out[: sl.stop - sl.start]
         self._Y = Y
         self._F_ROM_BC = self._BCE.full_f_with_applied_bc("rom")
+        # re-assembly replaces the label arrays: invalidate dependent
+        # DataSet caches the same way reset/grow_partition do, or views
+        # keep serving the stale labels
+        for ds in self._live_datasets():
+            ds.trigger_update()
 
     # --------------------------------------------------------- accessors
     @property
@@ -172,7 +193,7 @@ class DataLoader:
 
     @property
     def BCE(self):
-        return self._BCE
+        return self._need(self._BCE, "BCE")
 
     # -------------------------------------------------------- partitions
     def reset_partition(self, identifier: Optional[str] = None):
@@ -184,7 +205,7 @@ class DataLoader:
             self._permutation = {}
             self._assigned_chunks = {}
             self._state_indicator = {}
-        for ds in self._dependent_datasets:
+        for ds in self._live_datasets():
             ds.trigger_update()
 
     def ascending_partition(self, chunks, identifier="default",
@@ -210,6 +231,13 @@ class DataLoader:
             rng = rng or np.random.default_rng()
             permutation = rng.permutation(self.N)
         permutation = np.asarray(permutation, dtype=np.int64)
+        # a wrong user-supplied permutation (stale checkpoint array,
+        # duplicates) would silently leak samples across chunks
+        if permutation.shape != (self.N,) or \
+                len(np.unique(permutation)) != self.N or \
+                permutation.min() < 0 or permutation.max() >= self.N:
+            raise ValueError(
+                f"permutation must be a permutation of range({self.N})")
 
         self._permutation[identifier] = permutation
         self._assigned_chunks[identifier] = {}
@@ -260,7 +288,7 @@ class DataLoader:
             ptr += size
         self._state_indicator[identifier] = ptr
         self._check_chunks(identifier)
-        for ds in self._dependent_datasets:
+        for ds in self._live_datasets():
             ds.trigger_update()
 
     def construct_dataset_dictionary(self, *, identifier=None, dtype,
@@ -284,8 +312,10 @@ class DataLoader:
     # ------------------------------------------------------------ io
     def save(self, path: str):
         """Persist raw fields + hash (reference: utils/data.py:284-290)."""
-        if "." not in path.rsplit("/", 1)[-1]:
-            raise ValueError("path needs a file extension")
+        if not path.endswith(".npz"):
+            # np.savez appends '.npz' to any other name, so save() would
+            # write to a different file than from_file() later reads
+            raise ValueError(f"path must end with .npz, got {path!r}")
         np.savez(path, X=self._X, hash=np.bytes_(self.hash.encode()))
 
     @classmethod
@@ -308,6 +338,10 @@ class DataLoader:
         NOTE: the two streams are intentionally DIFFERENT -- the same key
         yields different (equally distributed) datasets on TPU vs CPU
         backends.  Within one backend the draw is fully reproducible.
+        The device path samples at float32 regardless of ``dtype`` (f64
+        is unsupported on TPU); fields are stored float64 host-side
+        either way, so ``dtype`` only selects the sampling precision of
+        the host/fallback paths.
         """
         if key is None:
             seed = 0
@@ -331,7 +365,16 @@ class DataLoader:
                 chunks.append(np.asarray(x[:min(CH, N - i)]))
             X = np.concatenate(chunks, axis=0)
         elif hasattr(sampler, "sample_numpy"):
-            X = sampler.sample_numpy(np.random.default_rng(seed), N)
+            # chunked like the device path: one (N, nx, ny) draw at
+            # 512^2 x 20k fields peaks at ~1 TB of complex intermediates
+            # on the FFT path; the cap bounds host peak memory the same
+            # way max_sample_batch bounds the device
+            rng_np = np.random.default_rng(seed)
+            CH = max(1, min(N, getattr(sampler, "max_sample_batch", 1024),
+                            1024))
+            parts = [sampler.sample_numpy(rng_np, min(CH, N - i))
+                     for i in range(0, N, CH)]
+            X = parts[0] if len(parts) == 1 else np.concatenate(parts)
         else:  # generic jax sampler fallback
             X = np.asarray(sampler.sample(jax.random.PRNGKey(seed),
                                           batch_size=N, dtype=dtype))
@@ -380,15 +423,20 @@ class DataSet:
 
     def restrict(self, N_target: int):
         """Use only the first N_target samples (reference:
-        utils/data.py:393-408)."""
-        if N_target > self.N_max:
-            raise ValueError
+        utils/data.py:393-408; the negative-N guard is stricter than the
+        reference, which would serve nonsense slices)."""
+        if N_target > self.N_max or N_target < 0:
+            raise ValueError(f"N_target must be in [0, {self.N_max}], "
+                             f"got {N_target}")
         if N_target == self._N_target:
             return
         self._N_target = None if N_target == self.N_max else N_target
         self.trigger_update()
 
     def grow_in_size(self, N: int, incremental: bool = False):
+        # non-incremental growth counts from the RESTRICTED length self.N,
+        # not N_max -- reference parity (utils/data.py:382); growing a
+        # restricted view therefore overgrows the raw chunk there too
         n_add = N if incremental else N - self.N
         if n_add <= 0:
             raise ValueError

@@ -87,6 +87,37 @@ def test_dataloader_roundtrip(tmp_path, small_loaders):
     dl2 = DataLoader.from_file(path)
     np.testing.assert_allclose(dl2.X, dl.X)
     assert dl2.hash == dl.hash
+    with pytest.raises(ValueError):
+        dl.save(str(tmp_path / "fields.dat"))  # np.savez would write .npz
+
+
+def test_dataloader_guards(small_loaders):
+    """Validation guards: bad permutations, negative restrict, BCE
+    access before assembly, mismatched BCE length."""
+    dl, _ = small_loaders
+    physics = fem.make_fom_rom_pair("NDP", 4, 4, 3)
+    dl2 = DataLoader(dl.X.copy())
+    with pytest.raises(RuntimeError):
+        dl2.BCE  # not assembled yet
+    with pytest.raises(ValueError):  # duplicate entries leak samples
+        dl2.randomized_partition({"supervised": 4},
+                                 permutation=np.zeros(dl2.N, dtype=int))
+    with pytest.raises(ValueError):  # wrong length
+        dl2.randomized_partition({"supervised": 4},
+                                 permutation=np.arange(dl2.N - 1))
+    rng = np.random.default_rng(0)
+    bce_wrong = fem.BoundaryConditionEnsemble.from_factory(
+        "NDP", dl2.N + 3, rng)
+    bce_wrong.register_function_space("fom", physics["fom"].grid)
+    bce_wrong.register_function_space("rom", physics["rom"].grid)
+    with pytest.raises(ValueError):
+        dl2.assemble(physics, BCE=bce_wrong)
+    dl2.assemble(physics, rng=np.random.default_rng(0))
+    dl2.randomized_partition({"supervised": 8}, rng=np.random.default_rng(1))
+    ds = dl2.construct_dataset_dictionary(identifier="default",
+                                          dtype=jnp.float32)["supervised"]
+    with pytest.raises(ValueError):
+        ds.restrict(-3)
 
 
 @pytest.mark.slow
