@@ -102,14 +102,18 @@ def test_bundle_roundtrip_on_disk(served_model, bundle, tmp_path):
 
 
 def test_surrogate_fn_is_closed_over_params(served_model):
-    # the frozen closure must not read mutated params
+    # the frozen closure must hold REAL copies: the trainer's jitted step
+    # donates the TrainState, deleting the caller's buffers -- an
+    # identity 'snapshot' would raise 'Array has been deleted' here
     _, dm, params, bs, dim_F = served_model
-    fn = surrogate_fn(dm, params, bs)
+    p2 = jax.tree_util.tree_map(jnp.array, params)   # sacrificial copies
+    b2 = jax.tree_util.tree_map(jnp.array, bs)
+    fn = surrogate_fn(dm, p2, b2)
     x, F = _request(2, dim_F, seed=5)
     before = fn(x, F)
-    mutated = jax.tree_util.tree_map(lambda a: a * 0.0, params)
-    after = fn(x, F)  # same closure, params arg mutated externally
-    del mutated
+    for leaf in jax.tree_util.tree_leaves((p2, b2)):
+        leaf.delete()  # simulate donation of the originals
+    after = fn(x, F)  # closure must survive on its own buffers
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
 
 
