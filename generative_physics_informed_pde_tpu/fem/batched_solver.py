@@ -48,7 +48,7 @@ def _apply_stencil_sym_blast(coefs4, v):
     return out
 
 
-def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
+def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
     """PCG with per-sample scalars; arrays (Ny, Nx, B); ``matvec`` the
     masked SPD operator, ``precond`` a linear SPD map r -> z (Jacobi diag
     or a multigrid V-cycle)."""
@@ -56,14 +56,19 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter):
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))  # (B,)
 
-    def pre(r):
-        # Fence the preconditioner off from the CG body ops: letting XLA
-        # fuse a multigrid V-cycle into the CG axpy/reduction kernel
-        # produces a fused kernel that faults the TPU runtime at 256^2
-        # for batches > 8 (v5e, observed 2026-08-16; repro in
-        # benchmarks/mg_repro.py -- pcg_pre faults, pcg_barrier passes).
-        return jax.lax.optimization_barrier(
-            precond(jax.lax.optimization_barrier(r)))
+    if fence:
+        def pre(r):
+            # Fence the preconditioner off from the CG body ops: letting
+            # XLA fuse a multigrid V-cycle into the CG axpy/reduction
+            # kernel produces a fused kernel that faults the TPU runtime
+            # at 256^2 for batches > 8 (v5e, observed 2026-08-16; repro
+            # in benchmarks/mg_repro.py -- pcg_pre faults, pcg_barrier
+            # passes).  The fault is V-cycle-specific, so the trivial
+            # Jacobi scale stays fused into the CG body (fence=False).
+            return jax.lax.optimization_barrier(
+                precond(jax.lax.optimization_barrier(r)))
+    else:
+        pre = precond
 
     b = mask * b
     bnorm2 = dot(b, b)
@@ -104,8 +109,9 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     alphas (B, n_cells), bc_values (B, n_constrained) -> (B, n_free),
     differentiable w.r.t. alphas via one adjoint batched CG.
 
-    ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on grids
-    >= 32 with power-of-two refinement, else Jacobi).
+    ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on SQUARE
+    power-of-two grids >= 64^2 whose profile is the standard left/right
+    DirichletProfile, else Jacobi -- thresholds measured, see below).
     ``use_pallas``: route the masked stencil matvec through the Pallas
     kernel (ops/stencil.py) instead of the XLA-fused shifts.
     ``precond_dtype``: internal dtype of the multigrid V-cycle.  The
@@ -128,6 +134,17 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
                          else "float32")
     grid = op.grid
     Ny, Nx = grid.ny + 1, grid.nx + 1
+    if precond not in ("auto", "mg", "jacobi"):
+        raise ValueError(f"precond must be 'auto', 'mg' or 'jacobi', "
+                         f"got {precond!r}")
+    # the V-cycle's level masks assume the standard left/right Dirichlet
+    # profile (multigrid._level_static builds DirichletProfile per
+    # level); for any other constraint set MG would smooth the wrong dof
+    # set silently
+    from .bc import DirichletProfile
+    _std_profile = np.array_equal(
+        np.asarray(profile.free_mask),
+        np.asarray(DirichletProfile(grid).free_mask))
     if precond == "auto":
         # threshold measured on v5e (benchmarks/mg_bench.py --threshold,
         # B=1024): 64^2 MG-PCG 24,817 solves/s vs Jacobi 9,178 (2.70x,
@@ -138,10 +155,15 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         # the preconditioner with optimization_barrier, so mg is safe at
         # 256^2 -- see benchmarks/mg_repro.py.)
         mg_ok = (grid.nx == grid.ny and grid.nx >= 64
-                 and (grid.nx & (grid.nx - 1)) == 0)
+                 and (grid.nx & (grid.nx - 1)) == 0 and _std_profile)
         precond = "mg" if mg_ok else "jacobi"
     mg = None
     if precond == "mg":
+        if not _std_profile:
+            raise ValueError(
+                "precond='mg' requires the standard left/right "
+                "DirichletProfile (the V-cycle level masks assume it); "
+                "use 'jacobi' for custom constraint sets")
         from .multigrid import MultigridPreconditioner
         mg = MultigridPreconditioner.for_grid(grid, dtype=precond_dtype)
         maxiter = maxiter or 60
@@ -172,19 +194,27 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
                                            interpret=interp)
         return lambda v: mask * _apply_stencil_blast(coefs, mask * v)
 
-    def _make_precond(alphas, coefs, mask, dtype):
-        diag = coefs[0]
-        inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
-        if mg is None:
-            return lambda r: inv_diag * r
+    def _mg_for_dtype(dtype):
         mg_ = mg
         if dtype == jnp.float64:
             # f64 solves (CPU oracle paths, tol 1e-10) need the tight
             # preconditioner; the bf16 traffic cut is a TPU concern
             import dataclasses as _dc
             mg_ = _dc.replace(mg, dtype="float64")
-        levels = mg_.setup(alphas)
-        return lambda r: mg_.apply(levels, r)
+        return mg_
+
+    def _make_precond(alphas, coefs, mask, dtype, levels=None):
+        """-> (precond_fn, levels): ``levels`` is the V-cycle hierarchy,
+        returned so the VJP can reuse the forward's setup instead of
+        re-coarsening all coefficients (None on the Jacobi path)."""
+        diag = coefs[0]
+        inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
+        if mg is None:
+            return (lambda r: inv_diag * r), None
+        mg_ = _mg_for_dtype(dtype)
+        if levels is None:
+            levels = mg_.setup(alphas)
+        return (lambda r: mg_.apply(levels, r)), levels
 
     def _forward_core(alphas, bc_values):
         dtype = alphas.dtype
@@ -193,16 +223,16 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         B = alphas.shape[0]
         coefs = _coefs_blast(alphas)
         mask = jnp.asarray(free_mask_np, dtype=dtype)[..., None]
-        pre = _make_precond(alphas, coefs, mask, dtype)
+        pre, levels = _make_precond(alphas, coefs, mask, dtype)
 
         bc_full = jnp.zeros((B, Ny * Nx), dtype=dtype
                             ).at[:, con_dofs].set(bc_values.astype(dtype))
         bc_g = _to_blast(bc_full)
         rhs = -_apply_stencil_blast(coefs, bc_g)
         y_free_g = _batched_pcg(_masked_matvec(coefs, mask), rhs, mask, pre,
-                                tol_, maxiter)
+                                tol_, maxiter, fence=mg is not None)
         y_full = _from_blast(y_free_g + bc_g)
-        return y_full, (coefs, mask, tol_)
+        return y_full, (coefs, mask, tol_, levels)
 
     @jax.custom_vjp
     def solve(alphas, bc_values):
@@ -210,17 +240,19 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         return y_full[:, free_dofs]
 
     def _fwd(alphas, bc_values):
-        y_full, (coefs, mask, tol_) = _forward_core(alphas, bc_values)
-        return y_full[:, free_dofs], (alphas, y_full, coefs, mask, tol_)
+        y_full, (coefs, mask, tol_, levels) = _forward_core(alphas, bc_values)
+        return (y_full[:, free_dofs],
+                (alphas, bc_values, y_full, coefs, mask, tol_, levels))
 
     def _bwd(res, ybar):
-        alphas, y_full, coefs, mask, tol_ = res
+        alphas, bc_values, y_full, coefs, mask, tol_, levels = res
         B = alphas.shape[0]
-        pre = _make_precond(alphas, coefs, mask, ybar.dtype)
+        pre, _ = _make_precond(alphas, coefs, mask, alphas.dtype,
+                               levels=levels)
         ybar_full = jnp.zeros((B, Ny * Nx), dtype=ybar.dtype
                               ).at[:, free_dofs].set(ybar)
         lam_g = _batched_pcg(_masked_matvec(coefs, mask), _to_blast(ybar_full),
-                             mask, pre, tol_, maxiter)
+                             mask, pre, tol_, maxiter, fence=mg is not None)
         lam = _from_blast(lam_g)
         alpha_bar = -op.cell_bilinear(lam, y_full)
         # bc gradient: direct part + coupling through K
@@ -228,7 +260,10 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         m_flat = jnp.asarray(free_mask_np.reshape(-1), dtype=lam.dtype)
         bc_full_bar = (1.0 - m_flat)[None, :] * (ybar_full - Klam)
         bc_bar = bc_full_bar[:, con_dofs]
-        return alpha_bar.astype(alphas.dtype), bc_bar.astype(ybar.dtype)
+        # cotangents must match the PRIMAL dtypes (a f32-alphas/f64-bc
+        # mixed call would otherwise crash the custom_vjp shape check)
+        return (alpha_bar.astype(alphas.dtype),
+                bc_bar.astype(bc_values.dtype))
 
     solve.defvjp(_fwd, _bwd)
     return solve

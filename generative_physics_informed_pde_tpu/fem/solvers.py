@@ -236,10 +236,10 @@ def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=None,
         rhs = f_grid - op.apply_coeff(coefs, bc_grid)
         y_free = _solve_free(coefs, rhs, diag)
         y = op.to_flat(y_free + bc_grid)
-        return y, (alpha, y, coefs, diag)
+        return y, (alpha, f_full, bc_full, y, coefs, diag)
 
     def _bwd(res, ybar):
-        alpha, y, coefs, diag = res
+        alpha, f_full, bc_full, y, coefs, diag = res
         ybar_grid = ybar.reshape(Ny, Nx).astype(coefs.dtype)
         # adjoint solve: K_ff^T lam = ybar_f  (K symmetric)
         lam_grid = _solve_free(coefs, ybar_grid, diag)
@@ -253,8 +253,10 @@ def make_fom_solver(op: StencilOperator, free_mask_np, *, tol=None,
         m = jnp.asarray(free_mask_flat_np, dtype=lam.dtype)
         Klam = op.matvec(alpha, lam)
         bc_bar = (1.0 - m) * (ybar - Klam)
-        return (alpha_bar.astype(alpha.dtype), f_bar.astype(ybar.dtype),
-                bc_bar.astype(ybar.dtype))
+        # cotangents must match the PRIMAL dtypes (mixed f32 alpha /
+        # f64 f_full+bc_full calls are natural on the CPU-oracle path)
+        return (alpha_bar.astype(alpha.dtype), f_bar.astype(f_full.dtype),
+                bc_bar.astype(bc_full.dtype))
 
     solve.defvjp(_fwd, _bwd)
     return solve

@@ -52,3 +52,36 @@ def test_batched_solver_bc_gradient():
     d = jnp.zeros_like(vals0).at[1, 3].set(e)
     fd = (loss(vals0 + d) - loss(vals0 - d)) / (2 * e)
     np.testing.assert_allclose(float(g[1, 3]), float(fd), rtol=1e-4)
+
+
+def test_mixed_dtype_bc_gradient():
+    """f32 alphas + f64 bc_values is the natural pairing on the
+    CPU-oracle path (constrained_values returns float64 numpy); the VJP
+    must return cotangents in the PRIMAL dtypes or custom_vjp rejects
+    them."""
+    phys = fem.LinearEllipticPhysics("fom", "NDP", fem.StructuredTriGrid(4, 4))
+    rng = np.random.default_rng(3)
+    B = 2
+    alphas = jnp.asarray(rng.uniform(0.5, 2.0, (B, phys.grid.n_cells)),
+                         dtype=jnp.float32)
+    vals = jnp.asarray(rng.uniform(-0.5, 0.5,
+                                   (B, phys.profile.n_constrained)),
+                       dtype=jnp.float64)
+    if vals.dtype != jnp.float64:  # x64 disabled -> nothing mixed to test
+        import pytest
+        pytest.skip("requires x64")
+    ga, gv = jax.grad(
+        lambda a, v: jnp.sum(phys.solve_batched(a, v) ** 2),
+        argnums=(0, 1))(alphas, vals)
+    assert ga.dtype == alphas.dtype
+    assert gv.dtype == vals.dtype
+    assert bool(jnp.all(jnp.isfinite(ga))) and bool(jnp.all(jnp.isfinite(gv)))
+
+
+def test_precond_string_validation():
+    import pytest
+    from generative_physics_informed_pde_tpu.fem.batched_solver import (
+        make_batched_fom_solver)
+    phys = fem.LinearEllipticPhysics("fom", "NDP", fem.StructuredTriGrid(8, 8))
+    with pytest.raises(ValueError, match="precond"):
+        make_batched_fom_solver(phys.op, phys.profile, precond="MG")
