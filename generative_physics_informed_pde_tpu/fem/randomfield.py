@@ -43,10 +43,9 @@ def pixel_center_points(py: int, px: int, ly: float = 1.0, lx: float = 1.0) -> n
 
 def squared_exponential_covariance(X: np.ndarray, stddev: float, corrlength: float) -> np.ndarray:
     """Dense SE kernel ``sigma^2 exp(-r^2 / (2 l^2))`` + 1e-12 jitter
-    (reference: RandomField.py:162-174)."""
-    r2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
-    C = stddev ** 2 * np.exp(-0.5 * r2 / corrlength ** 2)
-    return C + 1e-12 * np.eye(C.shape[0])
+    (reference: RandomField.py:162-174).  Delegates to
+    ``stationary_covariance`` so the kernel/jitter live in one place."""
+    return stationary_covariance(X, stddev, corrlength, "se")
 
 
 def _kernel_fn(kernel: str, stddev: float, corrlength: float):
@@ -102,6 +101,9 @@ class GaussianRandomField:
     def __post_init__(self):
         if self.stddev <= 0 or self.corrlength <= 0:
             raise ValueError("stddev and corrlength must be positive")
+        if self.method == "fft" and (self.py is None or self.px is None):
+            raise ValueError("method='fft' requires a pixel grid "
+                             "(use from_image)")
 
     # ----------------------------------------------------------- factories
     @classmethod
@@ -132,7 +134,9 @@ class GaussianRandomField:
     @property
     def dim_in(self) -> int:
         if self._resolved_method == "fft":
-            return int(np.prod(self._fft_factor.shape))
+            # the circulant sampler draws TWO standard-normal grids per
+            # sample (real + imaginary parts of the white noise)
+            return 2 * int(np.prod(self._fft_factor.shape))
         return self._L.shape[1]
 
     # -------------------------------------------------------- dense factors
@@ -165,9 +169,12 @@ class GaussianRandomField:
                 trunc = 0.999
             if isinstance(trunc, float):
                 # reference: explained-variance threshold hard-coded to
-                # 0.999 regardless of the float value (RandomField.py:189-192)
+                # 0.999 regardless of the float value (RandomField.py:189-192);
+                # the crossing-component cut is reference parity too, but
+                # keep >= 1 mode when the FIRST eigenvalue already clears
+                # the threshold (near-constant fields: argmax returns 0)
                 var_explained = np.cumsum(eigvals) / np.sum(eigvals)
-                trunc = int(np.argmax(var_explained > 0.999))
+                trunc = max(1, int(np.argmax(var_explained > 0.999)))
             if not isinstance(trunc, (int, np.integer)) or trunc < 1 or trunc >= self.dim_out:
                 raise ValueError(f"bad truncation {self.truncation}")
             return eigvecs[:, :trunc] * np.sqrt(np.clip(eigvals[:trunc], 0, None))
@@ -177,16 +184,32 @@ class GaussianRandomField:
     @cached_property
     def _fft_factor(self) -> np.ndarray:
         """sqrt of the circulant-embedding spectrum, (2*py, 2*px) float64."""
-        assert self.py is not None and self.px is not None
+        if self.py is None or self.px is None:
+            raise ValueError("fft sampling requires a pixel grid")
         py, px = self.py, self.px
         my, mx = 2 * py, 2 * px
-        wy, wx = 1.0 / py, 1.0 / px
+        # pixel widths in PHYSICAL units, derived from the stored points
+        # so non-unit domains (from_image ly/lx) get the same covariance
+        # as the dense paths
+        wx = (float(self.X[1, 0] - self.X[0, 0]) if px > 1 else 1.0 / px)
+        wy = (float(self.X[px, 1] - self.X[0, 1]) if py > 1 else 1.0 / py)
         # periodic distances on the embedding torus
         dy = np.minimum(np.arange(my), my - np.arange(my)) * wy
         dx = np.minimum(np.arange(mx), mx - np.arange(mx)) * wx
         r = np.sqrt(dy[:, None] ** 2 + dx[None, :] ** 2)
         row = _kernel_fn(self.kernel, self.stddev, self.corrlength)(r)
         spec = np.fft.fft2(row).real
+        if spec.min() < -1e-3 * spec.max():
+            # the embedding is only approximately valid: clipping these
+            # modes understates the variance.  Happens for corrlength
+            # comparable to the domain (where the dense paths are the
+            # right tool anyway) -- surface it instead of silently biasing
+            import warnings
+            warnings.warn(
+                f"circulant embedding has significant negative spectrum "
+                f"(min {spec.min():.3e} vs max {spec.max():.3e}); sampled "
+                f"covariance will be biased -- use method='kl'/'cholesky' "
+                f"or a smaller corrlength", stacklevel=2)
         spec = np.clip(spec, 0.0, None)  # tiny negatives from embedding
         return np.sqrt(spec / (my * mx))
 
@@ -224,6 +247,11 @@ class GaussianRandomField:
         n = 1 if squeeze else batch_size
 
         if self._resolved_method == "fft":
+            if gamma is not None:
+                raise ValueError(
+                    "gamma (a stored latent) is only meaningful on the "
+                    "dense KL/Cholesky paths; the fft sampler has no "
+                    "'sample = mean + L gamma' contract")
             out = self._sample_fft(key, n, dtype)
         else:
             L = jnp.asarray(self._L, dtype=dtype)
@@ -231,12 +259,30 @@ class GaussianRandomField:
                 gamma = jax.random.normal(key, (n, L.shape[1]), dtype=dtype)
             else:
                 gamma = jnp.atleast_2d(jnp.asarray(gamma, dtype=dtype))
+                # the batch comes from gamma itself; a conflicting
+                # batch_size would reshape garbage downstream
+                if not squeeze and gamma.shape[0] != n:
+                    raise ValueError(f"gamma batch {gamma.shape[0]} != "
+                                     f"batch_size {n}")
+                n = gamma.shape[0]
+                squeeze = squeeze and n == 1
             flat = self.mean + gamma @ L.T
             if self.py is not None:
                 out = flat.reshape(n, self.py, self.px)
             else:
                 out = flat
         return out[0] if squeeze else out
+
+    def _device_const(self, name: str, host_arr):
+        """Device-resident copy of a cached host constant, keyed by the
+        effective platform (one upload instead of one per sample() call --
+        the 512^2 spectrum alone is 8 MB over the remote tunnel)."""
+        from ..utils.backend import effective_platform
+        cache = self.__dict__.setdefault("_dev_cache", {})
+        k = (name, effective_platform())
+        if k not in cache:
+            cache[k] = jax.tree_util.tree_map(jnp.asarray, host_arr)
+        return cache[k]
 
     def _sample_fft(self, key, n, dtype):
         from ..utils.backend import effective_platform
@@ -246,7 +292,7 @@ class GaussianRandomField:
             # UNIMPLEMENTED via the axon tunnel) -- and the MXU prefers
             # matmuls anyway: use the real-arithmetic DFT below.
             return self._sample_fft_matmul(key, n, dtype)
-        f = jnp.asarray(self._fft_factor)
+        f = self._device_const("fft_factor", self._fft_factor)
         my, mx = f.shape
         kr, ki = jax.random.split(key)
         # complex white noise; real and imaginary parts give two independent
@@ -279,14 +325,14 @@ class GaussianRandomField:
         """
         # draw eps at the default float width (matches _sample_fft's draws
         # for the same key, f64 under x64 / f32 on TPU)
-        f = jnp.asarray(self._fft_factor)
+        f = self._device_const("fft_factor", self._fft_factor)
         my, mx = f.shape
         kr, ki = jax.random.split(key)
         a = jax.random.normal(kr, (n, my, mx))
         b = jax.random.normal(ki, (n, my, mx))
         u = a * f
         w = b * f
-        Cy, Sy, CxT, SxT = (jnp.asarray(m) for m in self._dft_mats)
+        Cy, Sy, CxT, SxT = self._device_const("dft_mats", self._dft_mats)
         P = u @ CxT + w @ SxT                      # (n, my, px)
         Q = w @ CxT - u @ SxT
         field = jnp.einsum("rj,njc->nrc", Cy, P) \

@@ -184,3 +184,51 @@ def test_sample_numpy_matches_statistics():
     X2 = rf2.sample_numpy(rng, 20000).reshape(20000, -1)
     C2 = squared_exponential_covariance(pixel_center_points(8, 8), 0.5, 0.15)
     np.testing.assert_allclose(np.cov(X2.T), C2, atol=0.03)
+
+
+def test_fft_covariance_respects_physical_domain():
+    """On a ly=lx=2 domain the fft path must use physical pixel widths --
+    the old unit-domain assumption halved all distances, silently
+    doubling the effective correlation length."""
+    from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+    import numpy as _np
+    kw = dict(mean=0.0, stddev=1.0, corrlength=0.25)
+    rf_unit = GaussianRandomField.from_image(32, 32, **kw, method="fft")
+    rf_wide = GaussianRandomField.from_image(32, 32, **kw, ly=2.0, lx=2.0,
+                                             method="fft")
+    # same pixel count, doubled physical spacing -> spectra must differ,
+    # and the wide-domain spectrum must equal a unit-domain field with
+    # HALF the correlation length (scale invariance of the SE kernel)
+    rf_half = GaussianRandomField.from_image(32, 32, mean=0.0, stddev=1.0,
+                                             corrlength=0.125, method="fft")
+    assert not _np.allclose(rf_unit._fft_factor, rf_wide._fft_factor)
+    _np.testing.assert_allclose(rf_wide._fft_factor, rf_half._fft_factor,
+                                rtol=1e-12)
+
+
+def test_sample_gamma_contracts():
+    from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+    import numpy as _np
+    import pytest as _pytest
+    rf = GaussianRandomField.from_image(8, 8, 0.0, 1.0, 0.2,
+                                        truncation="adaptive")
+    k = rf._L.shape[1]
+    g = _np.zeros((5, k))
+    out = rf.sample(jax.random.PRNGKey(0), batch_size=5, gamma=g)
+    assert out.shape == (5, 8, 8)
+    _np.testing.assert_allclose(_np.asarray(out), 0.0, atol=1e-12)
+    with _pytest.raises(ValueError):  # conflicting batch size
+        rf.sample(jax.random.PRNGKey(0), batch_size=3, gamma=g)
+    rf_fft = GaussianRandomField.from_image(32, 32, 0.0, 1.0, 0.1,
+                                            method="fft")
+    with _pytest.raises(ValueError):  # no latent contract on fft
+        rf_fft.sample(jax.random.PRNGKey(0), batch_size=2,
+                      gamma=_np.zeros((2, 4)))
+    # near-constant field: the first eigenvalue explains everything;
+    # adaptive truncation must keep one mode instead of raising
+    rf_const = GaussianRandomField.from_image(8, 8, 0.0, 1.0, 50.0,
+                                              truncation="adaptive")
+    assert rf_const._L.shape[1] >= 1
+    with _pytest.raises(ValueError):  # fft requires a grid
+        GaussianRandomField(mean=0.0, stddev=1.0, corrlength=0.1,
+                            X=_np.zeros((4, 2)), method="fft")
