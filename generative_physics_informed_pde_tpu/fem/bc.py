@@ -91,7 +91,11 @@ class DirichletProfile:
         ``basis @ theta`` -- linear in the encoding."""
         xy = self.grid.node_coords[self.constrained_dofs]
         y = xy[:, 1] / self.grid.ly
-        on_left = (xy[:, 0] < 1e-12).astype(np.float64)
+        # single-source the edge membership from the grid's own masks so
+        # the geometric tolerance lives in one place (grid.py)
+        on_left = np.asarray(
+            self.grid.boundary_node_masks["left"])[self.constrained_dofs
+                                                   ].astype(np.float64)
         on_right = 1.0 - on_left
         B = np.stack(
             [on_left * (1 - y), on_left * y, on_right * (1 - y), on_right * y],
@@ -101,16 +105,30 @@ class DirichletProfile:
 
     def constrained_values(self, theta) -> jnp.ndarray:
         """theta (..., 4) -> values at constrained dofs (..., n_constrained)."""
-        B = jnp.asarray(self._profile_basis, dtype=jnp.result_type(theta))
-        return jnp.einsum("...j,cj->...c", jnp.asarray(theta), B)
+        # keep the basis floating-point: an integer theta (natural for the
+        # ND encoding) would otherwise truncate the fractional basis rows
+        dt = jnp.result_type(jnp.asarray(theta).dtype, jnp.float32)
+        B = jnp.asarray(self._profile_basis, dtype=dt)
+        return jnp.einsum("...j,cj->...c", jnp.asarray(theta, dtype=dt), B)
 
     def scatter_full(self, values, free_values=None) -> jnp.ndarray:
         """Build full dof vectors: constrained entries = ``values``,
-        free entries = ``free_values`` (or zero).  Replaces
+        free entries = ``free_values`` (or zero); leading batch dims of
+        the two inputs broadcast.  Replaces
         ``scatter_restricted_solution`` (physics/LinearElliptic.py:103-118)."""
+        values = jnp.asarray(values)
+        # common dtype up front: scattering f64 free values into an f32
+        # buffer is the unsafe-downcast scatter the solver stack already
+        # hardened against (solvers.py rom_solve)
+        dt = (values.dtype if free_values is None
+              else jnp.result_type(values, free_values))
         batch = values.shape[:-1]
-        full = jnp.zeros(batch + (self.grid.n_nodes,), dtype=values.dtype)
-        full = full.at[..., jnp.asarray(self.constrained_dofs)].set(values)
+        if free_values is not None:
+            free_values = jnp.asarray(free_values, dtype=dt)
+            batch = jnp.broadcast_shapes(batch, free_values.shape[:-1])
+        full = jnp.zeros(batch + (self.grid.n_nodes,), dtype=dt)
+        full = full.at[..., jnp.asarray(self.constrained_dofs)].set(
+            values.astype(dt))
         if free_values is not None:
             full = full.at[..., jnp.asarray(self.free_dofs)].set(free_values)
         return full
@@ -132,8 +150,12 @@ class BoundaryConditionEnsemble:
         family = family.upper()
         if family not in FAMILIES:
             raise NotImplementedError(family)
-        thetas = np.asarray(thetas, dtype=np.float64)
-        assert thetas.ndim == 2 and thetas.shape[1] == THETA_DIM
+        # copy: np.asarray aliases the caller's buffer, and external
+        # mutation would desynchronize thetas from the cached _F forces
+        thetas = np.array(thetas, dtype=np.float64, copy=True)
+        if thetas.ndim != 2 or thetas.shape[1] != THETA_DIM:
+            raise ValueError(
+                f"thetas must be (N, {THETA_DIM}), got {thetas.shape}")
         self.family = family
         self.thetas = thetas
         self._profiles: Dict[str, DirichletProfile] = {}
@@ -205,8 +227,18 @@ class BoundaryConditionEnsemble:
         identifier = identifier.lower()
         if identifier not in self._F:
             p = self.profile(identifier)
+            n_elem = len(self) * p.grid.n_nodes
+            if n_elem > 2 ** 28:  # ~2 GB of f64: almost certainly the
+                # fine grid by mistake (the trainer only needs 'rom' here)
+                raise ValueError(
+                    f"full_f_with_applied_bc('{identifier}') would "
+                    f"materialise {len(self)} x {p.grid.n_nodes} float64 "
+                    f"(~{8 * n_elem / 2**30:.1f} GB); this matrix is only "
+                    "needed for the ROM space")
             F = np.zeros((len(self), p.grid.n_nodes), dtype=np.float64)
             F[:, p.constrained_dofs] = self.constrained_values(identifier)
+            F.setflags(write=False)  # shared cache: callers must not
+            # mutate it (the loader stores the same reference)
             self._F[identifier] = F
         return self._F[identifier]
 

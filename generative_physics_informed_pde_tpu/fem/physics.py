@@ -169,16 +169,22 @@ class LinearEllipticPhysics:
 
 
 def make_fom_rom_pair(physics_id: str, nx_rom: int, ny_rom: int,
-                      num_refines: int) -> dict:
+                      num_refines: int, **solver_kwargs) -> dict:
     """Build the fom/rom physics dict + interpolator W exactly as the
-    reference ModelFactory does (factories/model.py:106-142)."""
+    reference ModelFactory does (factories/model.py:106-142).
+
+    ``solver_kwargs`` (e.g. ``cg_tol``/``cg_maxiter``) forward to both
+    LinearEllipticPhysics constructions -- without this the factory every
+    caller goes through left those knobs unreachable."""
     from .interpolation import physics_resolution_interpolator
 
     rom_grid = StructuredTriGrid(nx_rom, ny_rom)
     fom_grid = rom_grid.refined(num_refines)
     physics = {
-        "fom": LinearEllipticPhysics("fom", physics_id, fom_grid),
-        "rom": LinearEllipticPhysics("rom", physics_id, rom_grid),
+        "fom": LinearEllipticPhysics("fom", physics_id, fom_grid,
+                                     **solver_kwargs),
+        "rom": LinearEllipticPhysics("rom", physics_id, rom_grid,
+                                     **solver_kwargs),
     }
     physics["W"] = physics_resolution_interpolator(
         rom_grid, fom_grid, free_dofs=physics["fom"].free_dofs)
