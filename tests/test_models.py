@@ -184,6 +184,7 @@ def test_generative_model_elbo_gradients(physics):
     assert float(jnp.abs(grads["g"]["logsigmas_y"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_l2_penalty_gradients_finite_at_fresh_init(physics):
     """Fresh params contain all-zero leaves (Dense biases, the decoder's
     logsigma param); jnp.linalg.norm's gradient there is NaN (0/0), so an

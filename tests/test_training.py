@@ -170,6 +170,7 @@ def test_trainer_micro_smoke(small_loaders, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_trainer_halts_on_divergence(small_loaders, tmp_path):
     """A non-finite ELBO at a monitor point raises TrainingDivergedError
     instead of silently stepping on NaNs for the rest of a long run."""
@@ -190,6 +191,7 @@ def test_trainer_halts_on_divergence(small_loaders, tmp_path):
         tr.run(6, verbose=False)
 
 
+@pytest.mark.slow
 def test_trainer_zero_labels_vo_only(small_loaders):
     """N_s=0: the zero-label regime of the reference thesis (readme.md:3-8,
     'little or NO labeled data').  The supervised ELBO term is disabled,
