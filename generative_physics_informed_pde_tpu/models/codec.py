@@ -30,12 +30,28 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear (align_corners-style not reproduced; used only when the
-    'bilinear' preset is requested)."""
-    import jax
+    """Bilinear x2 upsampling with ``align_corners=True`` semantics,
+    matching torch ``UpsamplingBilinear2d(scale_factor=2)`` exactly
+    (reference bottleneck/codec.py:147,251,290).  ``jax.image.resize``
+    uses half-pixel sampling, so we interpolate separably by hand:
+    output index i samples input coordinate ``i*(n-1)/(2n-1)``."""
 
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    def _interp_axis(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n_in = a.shape[axis]
+        if n_in == 1:  # degenerate axis: align_corners copies the single row
+            return jnp.repeat(a, 2, axis=axis)
+        n_out = 2 * n_in
+        coord = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+        lo = jnp.floor(coord).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w = (coord - lo).astype(a.dtype)
+        shape = [1] * a.ndim
+        shape[axis] = n_out
+        w = w.reshape(shape)
+        return jnp.take(a, lo, axis=axis) * (1 - w) + jnp.take(a, hi, axis=axis) * w
+
+    x = _interp_axis(x, -3)  # H
+    return _interp_axis(x, -2)  # W
 
 
 _UPSAMPLE = {"nearest": upsample_nearest_2x, "bilinear": upsample_bilinear_2x}

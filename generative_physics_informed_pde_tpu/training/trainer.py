@@ -743,10 +743,20 @@ class Trainer:
 
     def finalize(self):
         """(reference: training.py:464-480)"""
+        # results() reads the FINAL value of each analysis series; a run
+        # halted before the first analysis pass has empty series
+        # (DataSeries.final -> IndexError).  Only that specific case is
+        # tolerated -- and loudly -- so a genuinely missing metric is not
+        # silently eaten at the end of a long run.
         try:
-            self.writer.add_hparams({"dummy": 0}, self.results())
-        except (IndexError, AttributeError):
-            pass
+            results = self.results()
+        except IndexError:
+            warnings.warn(
+                "Trainer.finalize: analysis series are empty (run ended "
+                "before the first analysis pass); skipping hparams summary.",
+                RuntimeWarning)
+        else:
+            self.writer.add_hparams({"dummy": 0}, results)
         self.writer.flush()
         self.writer.close()
         self._finalized = True

@@ -370,3 +370,20 @@ def test_codec_bfloat16_compute_dtype():
         assert bool(jnp.isfinite(m_enc).all())
     scale = np.abs(outs[None]).max()
     assert np.abs(outs[None] - outs["bfloat16"]).max() < 0.05 * scale
+
+
+def test_bilinear_upsample_matches_torch_align_corners():
+    """upsample_bilinear_2x must match torch UpsamplingBilinear2d
+    (align_corners=True) exactly (reference bottleneck/codec.py:147,251)."""
+    torch = pytest.importorskip("torch")
+    from generative_physics_informed_pde_tpu.models.codec import (
+        upsample_bilinear_2x)
+
+    rng = np.random.default_rng(0)
+    for h, w in ((8, 8), (5, 7), (1, 4)):
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(upsample_bilinear_2x(jnp.asarray(x)))
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ref = torch.nn.UpsamplingBilinear2d(scale_factor=2)(xt)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
