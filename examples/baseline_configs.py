@@ -27,6 +27,7 @@ import numpy as np
 import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from generative_physics_informed_pde_tpu.constraints import vo_spec_preset
 from generative_physics_informed_pde_tpu.data import DataLoader
 from generative_physics_informed_pde_tpu.fem import GaussianRandomField
 from generative_physics_informed_pde_tpu.training import (
@@ -85,19 +86,21 @@ def config1(iterations=15000):
     return _run(p, dl, dlu, iterations)
 
 
-def config2(iterations=3000):
+def config2(iterations=3000, cadence=None):
     """Semi-supervised 64^2 with virtual observables: 64 labeled + 1024
-    unlabeled + 64 VO-constrained fields."""
+    unlabeled + 64 VO-constrained fields.  The VO cadence is the package
+    default (50, measured-best -- PARITY.md "Constrain-VO staleness");
+    pass ``cadence=250`` for the reference-parity run."""
     p = TrainerParameters()
     p.identifier = "highres"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=500,
-                     N_vo_holdoff=250, N_vo_update_interval=250,
-                     N_monte_carlo_vo=64)
+                     N_vo_holdoff=250, N_monte_carlo_vo=64)
+    if cadence is not None:
+        p.trainer["N_vo_update_interval"] = cadence
     p.scheduler = {"milestones": [500, 1500], "factor": math.sqrt(0.1)}
     p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
                   N_vo=64, N_val=64, armortized_bs=64,
-                  vo_spec={"type": "constrain", "CGR": True, "flux": True,
-                           "N_gaussian": 8, "N_rbf": 8, "l_rbf": 0.2})
+                  vo_spec=vo_spec_preset("constrain"))
     rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
     dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
     return _run(p, dl, dlu, iterations)
@@ -116,10 +119,7 @@ def config2e(iterations=1000):
     p.scheduler = {"milestones": [500, 1500], "factor": math.sqrt(0.1)}
     p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
                   N_vo=64, N_val=64, armortized_bs=64,
-                  vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 32,
-                           "energy_num_iterations_per_update": 10,
-                           "T_init": 1.0, "T_final": 1e-6,
-                           "T_iterations": iterations + 1})
+                  vo_spec=vo_spec_preset("energy", T_iterations=iterations + 1))
     rf = GaussianRandomField.from_image(64, 64, 0.4, 0.8, 0.04, method="fft")
     dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
     return _run(p, dl, dlu, iterations)
@@ -134,13 +134,11 @@ def config2h(iterations=1000):
     p = TrainerParameters()
     p.identifier = "highres128"
     p.trainer.update(lr_init=1e-3, N_monitor_interval=250,
-                     N_vo_holdoff=250, N_vo_update_interval=250,
-                     N_monte_carlo_vo=64)
+                     N_vo_holdoff=250, N_monte_carlo_vo=64)
     p.scheduler = {"milestones": [iterations // 2], "factor": math.sqrt(0.1)}
     p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
                   N_vo=64, N_val=64, armortized_bs=32,
-                  vo_spec={"type": "constrain", "CGR": True, "flux": True,
-                           "N_gaussian": 8, "N_rbf": 8, "l_rbf": 0.2})
+                  vo_spec=vo_spec_preset("constrain"))
     rf = GaussianRandomField.from_image(128, 128, 0.4, 0.8, 0.04,
                                         method="fft")
     dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)
@@ -164,10 +162,7 @@ def config2he(iterations=2000):
         p.scheduler = {"milestones": [500], "factor": math.sqrt(0.1)}
     p.data.update(N_u=1024, N_s=64, N_u_max=1024, N_s_max=64, N_vo_max=64,
                   N_vo=64, N_val=64, armortized_bs=32,
-                  vo_spec={"type": "energy", "l_rbf": 0.2, "N_rbf": 32,
-                           "energy_num_iterations_per_update": 10,
-                           "T_init": 1.0, "T_final": 1e-6,
-                           "T_iterations": iterations + 1})
+                  vo_spec=vo_spec_preset("energy", T_iterations=iterations + 1))
     rf = GaussianRandomField.from_image(128, 128, 0.4, 0.8, 0.04,
                                         method="fft")
     dl, dlu = _loaders(rf, 64 + 64 + 64, 1024)

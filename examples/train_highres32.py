@@ -44,6 +44,8 @@ def main():
     params.trainer["N_monitor_interval"] = 1000
     params.trainer["N_PE_updates_final"] = 250
     params.trainer["N_tensorboard_logging_interval"] = 1000
+    # reference-parity cadence (training.py:407-409); the package default
+    # is 50 -- measured-better, see PARITY.md "Constrain-VO staleness"
     params.trainer["N_vo_update_interval"] = 250
     params.trainer["N_vo_holdoff"] = 250
     params.trainer["N_monte_carlo_vo"] = 128

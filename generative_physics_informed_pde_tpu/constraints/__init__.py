@@ -7,7 +7,7 @@ from .virtual_observables import (
     FluxConstrainSampler, ConcatenatedSamplers, VirtualObservablesEnsemble,
     EnergyVirtualObservablesEnsemble, LinearTemperatureSchedule,
     ExponentialTemperatureSchedule, build_virtual_observables_ensemble,
-    condition_ensemble)
+    condition_ensemble, vo_spec_preset)
 from .flux import FluxConstraintOperator
 
 __all__ = [
@@ -17,5 +17,6 @@ __all__ = [
     "VirtualObservablesEnsemble", "EnergyVirtualObservablesEnsemble",
     "LinearTemperatureSchedule", "ExponentialTemperatureSchedule",
     "build_virtual_observables_ensemble", "condition_ensemble",
+    "vo_spec_preset",
     "FluxConstraintOperator",
 ]

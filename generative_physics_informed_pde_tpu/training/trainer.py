@@ -43,7 +43,13 @@ DEFAULT_CONFIG = dict(
     N_monte_carlo_analysis_final=128,
     N_monitor_interval=500,
     N_tensorboard_logging_interval=1,
-    N_vo_update_interval=250,
+    # VO refresh cadence: the reference uses 250 (training.py:407-409), but
+    # the measured ablation (PARITY.md "Constrain-VO staleness") shows
+    # constrain-VO at 250 self-distills stale targets and cadence 50
+    # recovers ~40% of the quality gap at negligible cost (the update is
+    # ~0.2% of step time at cadence 50).  50 is therefore the default;
+    # pass 250 explicitly for reference-parity runs.
+    N_vo_update_interval=50,
     N_vo_holdoff=100,
     N_monte_carlo_vo=128,
     N_monte_carlo_elbo=1,  # MC ELBO samples/step (config-3 extension)

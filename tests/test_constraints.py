@@ -525,3 +525,24 @@ def test_build_from_spec(setup):
     G = jnp.zeros((qpe.N, qpe.dim_out))
     vo_e.update(G, jnp.ones_like(G), 0)
     assert vo_e.mean.shape == G.shape
+
+
+def test_vo_spec_preset():
+    """The measured-best presets (PARITY VO ablation) are the defaults:
+    energy is the production arm; the constrain preset matches the
+    reference's spec shape (VirtualObservables.py:57-69)."""
+    from generative_physics_informed_pde_tpu.constraints import vo_spec_preset
+
+    e = vo_spec_preset(T_iterations=500)
+    assert e["type"] == "energy" and e["T_iterations"] == 500
+    c = vo_spec_preset("constrain", N_gaussian=4)
+    assert c["type"] == "constrain" and c["CGR"] and c["flux"]
+    assert c["N_gaussian"] == 4  # overrides merge on top
+    with pytest.raises(ValueError):
+        vo_spec_preset("energy")  # T_iterations is required
+    with pytest.raises(ValueError):
+        vo_spec_preset("nope")
+    # the trainer default cadence encodes the same ablation
+    from generative_physics_informed_pde_tpu.training.trainer import (
+        DEFAULT_CONFIG)
+    assert DEFAULT_CONFIG["N_vo_update_interval"] == 50
