@@ -124,3 +124,60 @@ def test_mc_sharded_training_matches_single_device():
     # lives on all 8 devices of the (4,2) mesh
     sh = tr8.state.params["q_z"]["supervised"]["mean"].sharding
     assert len(sh.device_set) == 8
+
+
+def _make_energy_vo_trainer(mesh=None, seed=0, iters=8):
+    """Trainer with the production ENERGY-VO arm (8 labeled + 16 unlabeled
+    + 8 energy-constrained fields), optionally dp-sharded."""
+    from generative_physics_informed_pde_tpu.constraints import vo_spec_preset
+
+    rf = fem.GaussianRandomField.from_image(32, 32, 0.4, 0.8, 0.15)
+    dl = DataLoader.from_sampler(rf, 24, key=jax.random.PRNGKey(2))
+    dlu = DataLoader.from_sampler(rf, 16, key=jax.random.PRNGKey(3))
+    dlu.lock_physics_assembly()
+    p = TrainerParameters()
+    p.identifier = "highres32"
+    p.debug = True
+    p.seed = seed
+    p.trainer.update(lr_init=1e-2, N_vo_holdoff=0, N_vo_update_interval=2,
+                     N_monte_carlo_vo=8)
+    p.scheduler = {"milestones": [50], "factor": 0.5}
+    p.data.update(N_u=16, N_s=8, N_u_max=16, N_s_max=8, N_vo_max=8,
+                  N_vo=8, N_val=8, armortized_bs=8,
+                  vo_spec=vo_spec_preset(
+                      "energy", T_iterations=iters, N_rbf=4,
+                      energy_num_iterations_per_update=2, T_final=1e-2))
+    tr = CreateTrainerFromPermutation(p, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    if mesh is not None:
+        tr.setup(scheduler_spec=p.scheduler, mesh=mesh)
+    return tr
+
+
+@pytest.mark.slow
+def test_energy_vo_sharded_matches_single_device():
+    """The production semi-supervised arm (energy-VO, PARITY VO ablation)
+    under dp sharding: the randomized-subspace energy update, its
+    host-side temperature schedule and the resulting training trajectory
+    all match the unsharded run exactly (same seed, same data)."""
+    tr1 = _make_energy_vo_trainer(mesh=None, seed=17)
+    tr8 = _make_energy_vo_trainer(mesh=make_mesh(8), seed=17)
+    tr1.run(5, verbose=False)
+    tr8.run(5, verbose=False)
+    # temperature schedule is host-driven: must advance identically and
+    # have actually moved off T_init
+    assert tr1.VO.temperature == tr8.VO.temperature
+    assert tr1.VO.temperature < 1.0
+    # the energy pseudo-label posteriors (VO means over 8 fields x free
+    # dofs) agree across layouts
+    a_vo = np.asarray(tr1.VO.mean)
+    b_vo = np.asarray(tr8.VO.mean)
+    assert np.all(np.isfinite(a_vo))
+    np.testing.assert_allclose(a_vo, b_vo, rtol=5e-3, atol=1e-5)
+    # and so does the trained per-datapoint posterior block
+    a = np.asarray(tr1.state.params["q_z"]["supervised"]["mean"])
+    b = np.asarray(tr8.state.params["q_z"]["supervised"]["mean"])
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
+    sh = tr8.state.params["q_z"]["supervised"]["mean"].sharding
+    assert len(sh.device_set) == 8
