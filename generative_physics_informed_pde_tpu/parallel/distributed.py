@@ -1,0 +1,202 @@
+"""Multi-host (DCN) distributed layer.
+
+A TPU pod slice spans processes: each host owns the chips it is wired to
+(ICI-connected), hosts talk over the data-center network (DCN).  JAX's
+model is one SPMD program over ONE global mesh: every process runs the
+same Python, ``jax.distributed.initialize`` wires the runtime together,
+``jax.devices()`` becomes the global device list, and XLA routes
+collectives over ICI within a host and DCN across hosts.
+
+This module is the multi-host leg of SURVEY §2.7/§5: the reference's only
+multi-host hook was a swap-in MPI futures pool (reference:
+parallel/utils.py:50-74, "an external MPI pool was plugged in here");
+here the TRAINING STEP itself spans hosts -- the 'dp' axis of the
+framework's standard layout (data batch + per-datapoint parameter blocks
+sharded, network weights replicated) simply extends over processes, and
+gradient all-reduces ride ICI within a host before crossing DCN once.
+
+Typical pod usage (same script on every host):
+
+    from generative_physics_informed_pde_tpu import parallel
+    parallel.initialize()                  # env-driven on TPU pods
+    mesh = parallel.make_mesh()            # global: all chips, all hosts
+    trainer.setup(scheduler_spec=..., mesh=mesh)
+
+For explicit wiring (CPU tests, custom clusters) pass
+``coordinator_address/num_processes/process_id``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+_initialized = False
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_ids=None) -> bool:
+    """Idempotent ``jax.distributed.initialize`` wrapper.
+
+    With no arguments, relies on the runtime's auto-detection (TPU pods:
+    the libtpu metadata; clusters: JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars).  Returns True if the
+    distributed runtime is (now) active across >1 process, False for the
+    single-process case.
+
+    Must be called BEFORE any jax computation touches the backend --
+    jax.distributed.initialize raises otherwise; that error is not
+    swallowed here (a half-initialized multi-host job must fail loudly,
+    not silently train on one host's shard).
+    """
+    global _initialized
+    import jax
+
+    if _initialized:
+        return jax.process_count() > 1
+    explicit = coordinator_address is not None
+    import os
+
+    env_driven = any(k in os.environ for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_ID"))
+    if explicit or env_driven:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def make_hybrid_mesh(local_axis_names: Sequence[str] = ("dp",),
+                     local_shape: Optional[Sequence[int]] = None,
+                     dcn_axis: str = "dcn"):
+    """Explicit (DCN x ICI) mesh: leading ``dcn_axis`` over processes,
+    trailing axes over each process's local devices.
+
+    Use this when the sharding must distinguish the slow axis (e.g. pure
+    data-parallel over hosts + model/MC axes within a host).  For plain
+    data-parallel over everything, the 1-D global mesh from
+    ``make_mesh()`` already spans hosts -- jax.devices() orders devices
+    process-major, so contiguous 'dp' shards stay host-local and
+    cross-host traffic is the single gradient all-reduce.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_proc = jax.process_count()
+    n_local = len(devs) // n_proc
+    if local_shape is None:
+        local_shape = (n_local,) + (1,) * (len(local_axis_names) - 1)
+    if int(np.prod(local_shape)) != n_local:
+        raise ValueError(f"local_shape {tuple(local_shape)} != "
+                         f"{n_local} devices per process")
+    arr = np.array(devs).reshape((n_proc,) + tuple(local_shape))
+    return Mesh(arr, (dcn_axis,) + tuple(local_axis_names))
+
+
+def local_shard_slice(n: int, axis_size: Optional[int] = None) -> slice:
+    """The [start, stop) slice of a length-``n`` global batch this process
+    owns under contiguous process-major 'dp' sharding.  Lets a DataLoader
+    assemble ONLY its host's shard of a large dataset (process-local
+    loading; each host then contributes its block via
+    ``global_array_from_local``)."""
+    import jax
+
+    p, np_ = jax.process_index(), jax.process_count()
+    if n % np_:
+        raise ValueError(f"global batch {n} not divisible by "
+                         f"{np_} processes")
+    per = n // np_
+    return slice(p * per, (p + 1) * per)
+
+
+def global_array_from_local(mesh, local_data, axis: str = "dp",
+                            global_shape=None):
+    """Form a global dp-sharded array from each process's LOCAL block
+    (process-local data loading; the single-process no-op is device_put).
+
+    ``local_data``: this process's contiguous block of the global batch
+    (rows ``local_shard_slice(N)``).  Pytrees map leaf-wise.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        sh = NamedSharding(mesh, P(axis))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:] \
+            if global_shape is None else global_shape
+        return jax.make_array_from_process_local_data(sh, x, gshape)
+
+    return jax.tree_util.tree_map(put, local_data)
+
+
+def fetch(x):
+    """Host value of a possibly process-spanning array: fully-addressable
+    arrays transfer directly; dp-sharded globals are allgathered."""
+    import jax
+
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def sweep_over_processes(fn, cases: Sequence, allgather: bool = True):
+    """Host-sharded parameter study over DCN: process p runs cases
+    ``p, p+P, p+2P, ...`` (round-robin), then results are allgathered so
+    every process returns the full list.
+
+    This is the multi-host replacement for the reference's swap-in MPI
+    futures pool (reference parallel/utils.py:50-74): study cases that
+    are whole training runs (not one SPMD program) split across HOSTS,
+    while each case still uses all of its host's local devices.  For
+    single-program sweeps over one host's devices use
+    ``sweep_over_devices`` (parallel/study.py).
+    """
+    import jax
+
+    p, P_ = jax.process_index(), jax.process_count()
+    local = {i: fn(cases[i]) for i in range(p, len(cases), P_)}
+    if P_ == 1 or not allgather:
+        return [local.get(i) for i in range(len(cases))]
+    # exchange the host-side python results across processes as padded
+    # JSON bytes via process_allgather (results must be JSON-able --
+    # study records are dicts/lists of numbers)
+    import json
+
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(json.dumps(
+        {str(k): v for k, v in local.items()}).encode(), np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray([blob.size], np.int64))).reshape(P_)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:blob.size] = blob
+    blobs = np.asarray(multihost_utils.process_allgather(padded))
+    out = [None] * len(cases)
+    for q in range(P_):
+        rec = json.loads(bytes(blobs[q, :int(lens[q])]).decode())
+        for k, v in rec.items():
+            out[int(k)] = v
+    return out

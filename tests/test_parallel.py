@@ -181,3 +181,60 @@ def test_energy_vo_sharded_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-5)
     sh = tr8.state.params["q_z"]["supervised"]["mean"].sharding
     assert len(sh.device_set) == 8
+
+
+@pytest.mark.slow
+def test_two_process_dcn_training_matches_single_process(tmp_path):
+    """SURVEY §2.7's multi-host leg: two OS processes (4 virtual CPU
+    devices each) join over TCP via jax.distributed, form one global
+    8-device 'dp' mesh -- the CPU stand-in for ICI-within-host +
+    DCN-across-hosts -- and run 3 sharded SVI steps that must match the
+    single-process 8-device run bit-for-layout (same seed, same data).
+    Also exercises the host-sharded parameter study
+    (parallel.sweep_over_processes), the reference's MPI-pool
+    replacement (reference parallel/utils.py:50-74)."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # golden: the plain single-process 8-device run
+    tr8 = _make_trainer(mesh=make_mesh(8), seed=11)
+    tr8.run(3, verbose=False)
+    golden = np.asarray(tr8.state.params["q_z"]["supervised"]["mean"])
+
+    with socket.socket() as s:  # free TCP port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    child = pathlib.Path(__file__).parent / "_dcn_child.py"
+    out = tmp_path / "p0.npz"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = str(pathlib.Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=4"])
+    env.pop("JAX_NUM_PROCESSES", None)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(child), str(i), "2", str(port), str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = []
+    for pr in procs:
+        try:
+            o, _ = pr.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            o, _ = pr.communicate()
+        outs.append(o)
+    for i, pr in enumerate(procs):
+        assert pr.returncode == 0, f"child {i} failed:\n{outs[i][-4000:]}"
+    q = np.load(out)["q"]
+    assert q.shape == golden.shape
+    # identical math, different process layout: only cross-device f32
+    # reduction order differs (same tolerance as the single-process
+    # sharded-vs-unsharded tests above)
+    np.testing.assert_allclose(q, golden, rtol=5e-3, atol=1e-5)
