@@ -51,7 +51,13 @@ def _apply_stencil_sym_blast(coefs4, v):
 def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
     """PCG with per-sample scalars; arrays (Ny, Nx, B); ``matvec`` the
     masked SPD operator, ``precond`` a linear SPD map r -> z (Jacobi diag
-    or a multigrid V-cycle)."""
+    or a multigrid V-cycle).
+
+    The residual norm ``rr`` is carried as a scalar per sample and
+    computed in the same pass as ``gamma = <r, z>`` (XLA fuses the two
+    reductions over one read of r), so the while_loop ``cond`` reads B
+    scalars instead of re-streaming the full (Ny, Nx, B) residual every
+    iteration -- one fewer HBM pass per CG iteration."""
 
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))  # (B,)
@@ -80,31 +86,34 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
     gamma0 = dot(r0, z0)
 
     def cond(state):
-        _, r, _, _, k = state
-        return jnp.logical_and(k < maxiter,
-                               jnp.any(dot(r, r) > atol2))
+        _, _, _, _, rr, k = state
+        return jnp.logical_and(k < maxiter, jnp.any(rr > atol2))
 
     def body(state):
-        x, r, p, gamma, k = state
+        x, r, p, gamma, _, k = state
         Ap = matvec(p)
         denom = dot(p, Ap)
         alpha = gamma / jnp.where(denom == 0, 1.0, denom)
         x = x + alpha[None, None, :] * p
         r = r - alpha[None, None, :] * Ap
         z = pre(r)
+        # <r,z> and <r,r> in one pass over r (fused reduction pair)
         gamma_new = dot(r, z)
+        rr = dot(r, r)
         beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
         p = z + beta[None, None, :] * p
-        return (x, r, p, gamma_new, k + 1)
+        return (x, r, p, gamma_new, rr, k + 1)
 
-    x, r, _, _, k = jax.lax.while_loop(cond, body, (x0, r0, z0, gamma0, 0))
+    x, r, _, _, _, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, gamma0, bnorm2, 0))
     return x
 
 
 def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
                             maxiter=None, precond: str = "auto",
                             use_pallas: bool = False,
-                            precond_dtype: str | None = None):
+                            precond_dtype: str | None = None,
+                            sym: bool = True):
     """Build ``solve(alphas, bc_values) -> Y_free`` for a whole batch:
     alphas (B, n_cells), bc_values (B, n_constrained) -> (B, n_free),
     differentiable w.r.t. alphas via one adjoint batched CG.
@@ -114,6 +123,11 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     DirichletProfile, else Jacobi -- thresholds measured, see below).
     ``use_pallas``: route the masked stencil matvec through the Pallas
     kernel (ops/stencil.py) instead of the XLA-fused shifts.
+    ``sym``: use the symmetric 4-grid coefficient form for every stencil
+    apply in the solve (matvec, rhs, adjoint) -- 4 coefficient streams
+    instead of 7 on the HBM-bound hot path (K is symmetric; the apply
+    reuses each off-diagonal grid for the +dir and -dir coupling).
+    Ignored on the Pallas path, whose kernel takes the 7-grid form.
     ``precond_dtype``: internal dtype of the multigrid V-cycle.  The
     V-cycle only preconditions CG (a fixed SPD operator), so bfloat16
     halves the smoother HBM traffic at identical solution accuracy; the
@@ -180,9 +194,13 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
     def _from_blast(grids):
         return jnp.moveaxis(grids, -1, 0).reshape(-1, Ny * Nx)
 
+    sym = bool(sym and not use_pallas)
+    _apply = _apply_stencil_sym_blast if sym else _apply_stencil_blast
+
     def _coefs_blast(alphas):
-        c = op.coefficients(alphas)          # (B, 7, Ny, Nx)
-        return jnp.moveaxis(c, 0, -1)        # (7, Ny, Nx, B)
+        # (B, 4|7, Ny, Nx) -> (4|7, Ny, Nx, B)
+        c = op.coefficients_sym(alphas) if sym else op.coefficients(alphas)
+        return jnp.moveaxis(c, 0, -1)
 
     def _masked_matvec(coefs, mask):
         if use_pallas:
@@ -192,7 +210,7 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
             interp = effective_platform() != "tpu"
             return lambda v: apply_stencil(coefs, mask * v, mask,
                                            interpret=interp)
-        return lambda v: mask * _apply_stencil_blast(coefs, mask * v)
+        return lambda v: mask * _apply(coefs, mask * v)
 
     def _mg_for_dtype(dtype):
         mg_ = mg
@@ -228,7 +246,7 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         bc_full = jnp.zeros((B, Ny * Nx), dtype=dtype
                             ).at[:, con_dofs].set(bc_values.astype(dtype))
         bc_g = _to_blast(bc_full)
-        rhs = -_apply_stencil_blast(coefs, bc_g)
+        rhs = -_apply(coefs, bc_g)
         y_free_g = _batched_pcg(_masked_matvec(coefs, mask), rhs, mask, pre,
                                 tol_, maxiter, fence=mg is not None)
         y_full = _from_blast(y_free_g + bc_g)
@@ -256,7 +274,7 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         lam = _from_blast(lam_g)
         alpha_bar = -op.cell_bilinear(lam, y_full)
         # bc gradient: direct part + coupling through K
-        Klam = _from_blast(_apply_stencil_blast(coefs, lam_g))
+        Klam = _from_blast(_apply(coefs, lam_g))
         m_flat = jnp.asarray(free_mask_np.reshape(-1), dtype=lam.dtype)
         bc_full_bar = (1.0 - m_flat)[None, :] * (ybar_full - Klam)
         bc_bar = bc_full_bar[:, con_dofs]

@@ -108,10 +108,17 @@ class MultigridPreconditioner:
 
     @classmethod
     def for_grid(cls, grid: StructuredTriGrid, min_size: int = 4, **kw):
+        """Coarsen while BOTH dims stay even (each level halves both axes;
+        counting only the min dim would over-coarsen e.g. 72x64, whose
+        larger dim runs out of factors of two first) and the min dim stays
+        >= ``min_size``.  Square power-of-two grids are NOT required --
+        96^2 coarsens 96->48->24->12->6, 128x64 to 8x4, etc."""
         levels = 1
-        n = min(grid.nx, grid.ny)
-        while n % 2 == 0 and n // 2 >= min_size:
-            n //= 2
+        nx, ny = grid.nx, grid.ny
+        while (nx % 2 == 0 and ny % 2 == 0
+               and min(nx, ny) // 2 >= min_size):
+            nx //= 2
+            ny //= 2
             levels += 1
         return cls(grid=grid, num_levels=levels, **kw)
 
@@ -135,7 +142,7 @@ class MultigridPreconditioner:
         a = op0.alpha_to_cellgrid(alphas)           # (B, ny, nx, 2)
         a = jnp.moveaxis(a, 0, -1)                  # (ny, nx, 2, B)
         levels = []
-        for (op, mask_np) in statics:
+        for li, (op, mask_np) in enumerate(statics):
             # StencilOperator.coefficients expects (..., n_cells)
             a_batchfirst = jnp.moveaxis(a, -1, 0).reshape(B, -1)
             coefs = jnp.moveaxis(op.coefficients(a_batchfirst), 0, -1)
@@ -144,7 +151,7 @@ class MultigridPreconditioner:
             inv_diag = mask / jnp.where(diag <= 0, 1.0, diag)
             levels.append((coefs.astype(dt), inv_diag.astype(dt),
                            mask.astype(dt)))
-            if (op.grid.nx // 2, op.grid.ny // 2) != (0, 0):
+            if li + 1 < len(statics):  # a coarser level follows
                 a = _coarsen_alpha_cellgrid(a)
         return levels
 
