@@ -40,9 +40,10 @@ def true_residual(fom, alphas, vals, Y):
 
 
 def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
-        maxiter=None):
+        maxiter=None, ny=None):
     # FOM only -- skip make_fom_rom_pair's dense W (1M x 81 at 1024^2)
-    grid = fem.StructuredTriGrid(8, 8).refined(int(np.log2(n // 8)))
+    ny = ny or n
+    grid = fem.StructuredTriGrid(n, ny)
     fom = fem.LinearEllipticPhysics("fom", "NDP", grid)
     assert fom.grid.nx == n, (fom.grid.nx, n)
     from generative_physics_informed_pde_tpu.fem.batched_solver import (
@@ -66,6 +67,7 @@ def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
     else:
         alphas = jnp.exp(0.8 * jax.random.normal(
             key, (B, fom.grid.n_cells), jnp.float32))
+    dims = f"{n}^2" if ny == n else f"{n}x{ny}"
     theta = jax.random.uniform(key, (B, 4), minval=-0.5, maxval=0.5)
     vals = fom.profile.constrained_values(theta).astype(jnp.float32)
     Y = solve(alphas, vals)
@@ -77,7 +79,7 @@ def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
         best = min(best, time.perf_counter() - t0)
     res = true_residual(fom, alphas, vals, Y)
     tag = precond if precond != "mg" else f"mg/{precond_dtype}"
-    print(f"{n}^2 B={B} {tag:12s}: {B / best:8.1f} solves/s "
+    print(f"{dims} B={B} {tag:12s}: {B / best:8.1f} solves/s "
           f"({best * 1e3:7.1f} ms)  true rel residual {res:.2e}", flush=True)
     return B / best, res
 
@@ -130,6 +132,22 @@ def scale_study():
               f"(res {r16:.1e})", flush=True)
 
 
+def envelope_study():
+    """VERDICT r3 item 6: the auto-MG gate admitted only square
+    power-of-two grids >= 64^2, silently dropping 96^2 / 64x128 / 100^2
+    to Jacobi-PCG (2.7x slower at 64^2).  The V-cycle machinery actually
+    coarsens ANY grid whose dims stay jointly even (96 -> 48 -> 24 -> 12
+    -> 6); measure whether MG wins off the power-of-two envelope so the
+    gate can be evidence-based."""
+    for (nx, ny, B) in [(96, 96, 1024), (128, 64, 1024), (100, 100, 1024),
+                        (192, 192, 256)]:
+        sj, rj = run(nx, B, None, precond="jacobi", ny=ny)
+        sm, rm = run(nx, B, "bfloat16", precond="mg", ny=ny)
+        winner = "mg" if sm > sj else "jacobi"
+        print(f"  -> {nx}x{ny} winner: {winner} ({sm / sj:.2f}x mg/jacobi,"
+              f" residuals {rj:.1e} vs {rm:.1e})", flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     if "--threshold" in sys.argv:
@@ -140,6 +158,9 @@ def main():
         return
     if "--scale" in sys.argv:
         scale_study()
+        return
+    if "--envelope" in sys.argv:
+        envelope_study()
         return
     for (n, B) in [(128, 256), (256, 64)]:
         s32, r32 = run(n, B, "float32")

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Fresh per-term composition of the headline SVI step (64^2 'highres').
+"""Fresh per-term composition of the headline SVI step.
+
+Default 64^2 'highres'; pass --grid128 for the north-star 'highres128'.
 
 The round-2 composition table (PARITY.md) predates the Cholesky ROM
 solve and the current 300+ steps/s build; before spending effort on a
@@ -24,14 +26,14 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build(variant: str, loaders):
+def build(variant: str, loaders, grid=64):
     import jax
     from generative_physics_informed_pde_tpu.data import DataLoader
     from generative_physics_informed_pde_tpu.training import (
         TrainerParameters, CreateTrainerFromPermutation)
 
     params = TrainerParameters()
-    params.identifier = "highres"
+    params.identifier = "highres" if grid == 64 else "highres128"
     params.trainer["lr_init"] = 1e-2
     params.trainer["N_monitor_interval"] = 10 ** 9
     params.scheduler = {"milestones": [250, 1500],
@@ -59,14 +61,16 @@ def build(variant: str, loaders):
 def main():
     import bench
 
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    _, dl, dlu = bench.build_trainer()  # assembles labels once
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    grid = 128 if "--grid128" in sys.argv else 64
+    n_steps = int(args[0]) if args else (200 if grid == 128 else 500)
+    _, dl, dlu = bench.build_trainer(grid=grid)  # assembles labels once
     loaders = (dl, dlu)
 
     rows = []
     for variant in ("full", "no_pe", "no_unsup", "sup_only"):
         t0 = time.time()
-        tr = build(variant, loaders)
+        tr = build(variant, loaders, grid=grid)
         sps = bench.measure_steps_per_sec(tr, n_steps)
         rows.append((variant, sps, 1e3 / sps))
         print(f"{variant:<10} {sps:8.1f} steps/s  {1e3 / sps:6.3f} ms/step "

@@ -25,7 +25,10 @@ XLA's to schedule, with no single hot op left to hand-optimise (the
 composition ablation in PARITY.md: supervised 4.2 ms of 5.6 ms, convs
 op-count-bound at growth-4 channels).
 
-Run on the TPU:  python benchmarks/step_roofline.py [n_steps]
+Run on the TPU:  python benchmarks/step_roofline.py [n_steps] [--grid128]
+
+``--grid128`` repeats the methodology on the north-star 'highres128'
+recipe (BASELINE.json's >=100x-at-128^2 bar; VERDICT r3 item 1).
 """
 
 from __future__ import annotations
@@ -83,7 +86,10 @@ def measured_peaks():
 def main():
     import jax
 
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_steps = int(args[0]) if args else 500
+    grid = 128 if "--grid128" in sys.argv else 64
+    fuse = "--fuse" in sys.argv
     sys.path.insert(0, ".")
     import bench
 
@@ -91,7 +97,7 @@ def main():
     print(f"measured peaks: {peak_flops / 1e12:.1f} TFLOP/s f32 matmul, "
           f"{peak_bw / 1e9:.0f} GB/s HBM copy", flush=True)
 
-    trainer, _, _ = bench.build_trainer()
+    trainer, _, _ = bench.build_trainer(grid=grid, fuse=fuse)
     sps = bench.measure_steps_per_sec(trainer, n_steps)
     step_ms = 1e3 / sps
     print(f"measured: {sps:.1f} steps/s = {step_ms:.2f} ms/step "
