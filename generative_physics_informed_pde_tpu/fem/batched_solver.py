@@ -48,16 +48,18 @@ def _apply_stencil_sym_blast(coefs4, v):
     return out
 
 
-def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
+def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True,
+                 fused_rr=True):
     """PCG with per-sample scalars; arrays (Ny, Nx, B); ``matvec`` the
     masked SPD operator, ``precond`` a linear SPD map r -> z (Jacobi diag
     or a multigrid V-cycle).
 
-    The residual norm ``rr`` is carried as a scalar per sample and
-    computed in the same pass as ``gamma = <r, z>`` (XLA fuses the two
-    reductions over one read of r), so the while_loop ``cond`` reads B
-    scalars instead of re-streaming the full (Ny, Nx, B) residual every
-    iteration -- one fewer HBM pass per CG iteration."""
+    ``fused_rr``: carry the residual norm as a per-sample scalar computed
+    in the body alongside ``gamma = <r, z>`` (one read of r feeds both
+    reductions), so the while_loop ``cond`` reads B scalars instead of
+    re-streaming the full (Ny, Nx, B) residual -- one fewer HBM pass per
+    CG iteration.  False restores the cond-side dot(r, r) for A/B
+    measurement (benchmarks/mg_bench.py --rr)."""
 
     def dot(a, c):
         return jnp.sum(a * c, axis=(0, 1))  # (B,)
@@ -86,8 +88,9 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
     gamma0 = dot(r0, z0)
 
     def cond(state):
-        _, _, _, _, rr, k = state
-        return jnp.logical_and(k < maxiter, jnp.any(rr > atol2))
+        _, r, _, _, rr, k = state
+        live = rr > atol2 if fused_rr else dot(r, r) > atol2
+        return jnp.logical_and(k < maxiter, jnp.any(live))
 
     def body(state):
         x, r, p, gamma, _, k = state
@@ -99,7 +102,7 @@ def _batched_pcg(matvec, b, mask, precond, tol, maxiter, fence=True):
         z = pre(r)
         # <r,z> and <r,r> in one pass over r (fused reduction pair)
         gamma_new = dot(r, z)
-        rr = dot(r, r)
+        rr = dot(r, r) if fused_rr else bnorm2
         beta = gamma_new / jnp.where(gamma == 0, 1.0, gamma)
         p = z + beta[None, None, :] * p
         return (x, r, p, gamma_new, rr, k + 1)
@@ -113,20 +116,28 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
                             maxiter=None, precond: str = "auto",
                             use_pallas: bool = False,
                             precond_dtype: str | None = None,
-                            sym: bool = True):
+                            sym: bool = False, fused_rr: bool = True):
     """Build ``solve(alphas, bc_values) -> Y_free`` for a whole batch:
     alphas (B, n_cells), bc_values (B, n_constrained) -> (B, n_free),
     differentiable w.r.t. alphas via one adjoint batched CG.
 
-    ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on SQUARE
-    power-of-two grids >= 64^2 whose profile is the standard left/right
-    DirichletProfile, else Jacobi -- thresholds measured, see below).
+    ``precond``: 'jacobi' | 'mg' | 'auto' (multigrid V-cycle on any grid
+    with both dims even and min dim >= 64 whose profile is the standard
+    left/right DirichletProfile, else Jacobi with a loud warning at
+    sizes where that costs real throughput -- thresholds measured, see
+    below).
     ``use_pallas``: route the masked stencil matvec through the Pallas
     kernel (ops/stencil.py) instead of the XLA-fused shifts.
     ``sym``: use the symmetric 4-grid coefficient form for every stencil
     apply in the solve (matvec, rhs, adjoint) -- 4 coefficient streams
-    instead of 7 on the HBM-bound hot path (K is symmetric; the apply
-    reuses each off-diagonal grid for the +dir and -dir coupling).
+    instead of 7 (K is symmetric; the apply reuses each off-diagonal grid
+    for the +dir and -dir coupling).  Measured on v5e
+    (benchmarks/mg_bench.py --sym): a WASH under MG (1.02x at 64^2,
+    0.97x at 128^2 -- the V-cycle smoother still streams the 7-grid
+    form, so only the outer CG matvec changes), 1.7x SLOWER under
+    Jacobi (the extra rolls to reconstruct +dir/-dir coupling outweigh
+    the 3 saved streams), and it triggered a TPU worker crash at 256^2
+    B=64 -- hence default False; kept for A/B measurement.
     Ignored on the Pallas path, whose kernel takes the 7-grid form.
     ``precond_dtype``: internal dtype of the multigrid V-cycle.  The
     V-cycle only preconditions CG (a fixed SPD operator), so bfloat16
@@ -160,17 +171,31 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         np.asarray(profile.free_mask),
         np.asarray(DirichletProfile(grid).free_mask))
     if precond == "auto":
-        # threshold measured on v5e (benchmarks/mg_bench.py --threshold,
-        # B=1024): 64^2 MG-PCG 24,817 solves/s vs Jacobi 9,178 (2.70x,
-        # true residual 1.6e-6 vs 6.4e-6) -> MG from 64^2 up; 32^2 is a
-        # wash (1.03x), so Jacobi keeps the faster compile there.  (A
-        # v5e runtime fault at 256^2 batch>8 was traced to XLA fusing
-        # the V-cycle into the CG body kernel; _batched_pcg now fences
-        # the preconditioner with optimization_barrier, so mg is safe at
-        # 256^2 -- see benchmarks/mg_repro.py.)
-        mg_ok = (grid.nx == grid.ny and grid.nx >= 64
-                 and (grid.nx & (grid.nx - 1)) == 0 and _std_profile)
+        # thresholds measured on v5e (benchmarks/mg_bench.py --threshold
+        # and --envelope, B=1024): 64^2 MG-PCG 2.70x Jacobi; 32^2 a wash
+        # (1.03x), so Jacobi keeps the faster compile there.  Square
+        # powers of two are NOT required: MG wins 4.8x at 96^2, 4.5x at
+        # 128x64, 2.9x at 100^2 (only 3 V-cycle levels) and 12.7x at
+        # 192^2 -- the gate admits any grid that coarsens at least once
+        # (both dims even) with min dim >= 64.  (A v5e runtime fault at
+        # 256^2 batch>8 was traced to XLA fusing the V-cycle into the CG
+        # body kernel; _batched_pcg fences the preconditioner with
+        # optimization_barrier -- see benchmarks/mg_repro.py.)
+        mg_ok = (min(grid.nx, grid.ny) >= 64 and grid.nx % 2 == 0
+                 and grid.ny % 2 == 0 and _std_profile)
         precond = "mg" if mg_ok else "jacobi"
+        if not mg_ok and min(grid.nx, grid.ny) >= 64:
+            # loud fallback: at this size Jacobi-PCG is 2.7-12.7x slower
+            # than MG (measured); the user should know why they get it
+            import warnings
+            why = ("an odd grid dimension prevents coarsening"
+                   if grid.nx % 2 or grid.ny % 2 else
+                   "a non-standard constraint profile")
+            warnings.warn(
+                f"auto precond chose Jacobi-PCG for {grid.nx}x{grid.ny} "
+                f"because {why}; multigrid is 2.7-12.7x faster where it "
+                "applies (benchmarks/mg_bench.py --envelope). Pad the "
+                "grid to even dims to enable it.", stacklevel=2)
     mg = None
     if precond == "mg":
         if not _std_profile:
@@ -248,7 +273,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         bc_g = _to_blast(bc_full)
         rhs = -_apply(coefs, bc_g)
         y_free_g = _batched_pcg(_masked_matvec(coefs, mask), rhs, mask, pre,
-                                tol_, maxiter, fence=mg is not None)
+                                tol_, maxiter, fence=mg is not None,
+                                fused_rr=fused_rr)
         y_full = _from_blast(y_free_g + bc_g)
         return y_full, (coefs, mask, tol_, levels)
 
@@ -270,7 +296,8 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         ybar_full = jnp.zeros((B, Ny * Nx), dtype=ybar.dtype
                               ).at[:, free_dofs].set(ybar)
         lam_g = _batched_pcg(_masked_matvec(coefs, mask), _to_blast(ybar_full),
-                             mask, pre, tol_, maxiter, fence=mg is not None)
+                             mask, pre, tol_, maxiter, fence=mg is not None,
+                             fused_rr=fused_rr)
         lam = _from_blast(lam_g)
         alpha_bar = -op.cell_bilinear(lam, y_full)
         # bc gradient: direct part + coupling through K

@@ -149,3 +149,56 @@ def test_precond_dtype_auto_default(monkeypatch):
     assert probe(256, "tpu") == "bfloat16"
     assert probe(512, "tpu") == "float32"
     assert probe(64, "cpu") == "float32"
+
+
+def test_mg_levels_off_power_of_two():
+    """The coarsening walk (multigrid.for_grid) admits any jointly-even
+    dims: 96 -> 48 -> 24 -> 12 -> 6 and 128x64 -> 8x4 (both dims halve
+    per level; the even-ness of BOTH dims gates each step)."""
+    mg = MultigridPreconditioner.for_grid(fem.StructuredTriGrid(96, 96))
+    assert mg.num_levels == 5  # 96 -> 48 -> 24 -> 12 -> 6
+    mg2 = MultigridPreconditioner.for_grid(fem.StructuredTriGrid(128, 64))
+    assert mg2.num_levels == 5  # (128,64) -> ... -> (8,4)
+    mg3 = MultigridPreconditioner.for_grid(fem.StructuredTriGrid(100, 100))
+    assert mg3.num_levels == 3  # 100 -> 50 -> 25 (odd stops it)
+
+
+def test_auto_precond_envelope():
+    """VERDICT r3 item 6: the auto gate now admits non-power-of-two
+    even grids >= 64 (MG measured 2.9-12.7x faster than Jacobi there,
+    benchmarks/mg_bench.py --envelope), and falls back LOUDLY -- with a
+    warning naming the reason -- when an odd dim forces Jacobi at a
+    size where that costs real throughput."""
+    import warnings
+
+    phys = fem.LinearEllipticPhysics("fom", "NDP",
+                                     fem.StructuredTriGrid(96, 96))
+    rng = np.random.default_rng(3)
+    B = 2
+    alphas = jnp.asarray(
+        np.exp(rng.normal(0, 0.8, (B, phys.grid.n_cells))),
+        dtype=jnp.float32)
+    vals = jnp.asarray(phys.profile.constrained_values(
+        jnp.asarray(rng.uniform(-0.5, 0.5, (B, 4)))), dtype=jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # auto->mg must NOT warn here
+        solve = jax.jit(make_batched_fom_solver(phys.op, phys.profile,
+                                                precond="auto"))
+    Y = solve(alphas, vals)
+    y0 = phys.solve_direct(np.asarray(alphas[0], np.float64),
+                           np.asarray(vals[0], np.float64))
+    np.testing.assert_allclose(np.asarray(Y[0]), y0, rtol=5e-3, atol=1e-6)
+
+    # odd dim at >=64: still correct, but warns about the Jacobi cliff
+    phys_odd = fem.LinearEllipticPhysics("fom", "NDP",
+                                         fem.StructuredTriGrid(65, 64))
+    with pytest.warns(UserWarning, match="odd grid dimension"):
+        make_batched_fom_solver(phys_odd.op, phys_odd.profile,
+                                precond="auto")
+    # small odd grids stay silent (Jacobi is fine there)
+    phys_small = fem.LinearEllipticPhysics("fom", "NDP",
+                                           fem.StructuredTriGrid(17, 16))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_batched_fom_solver(phys_small.op, phys_small.profile,
+                                precond="auto")
