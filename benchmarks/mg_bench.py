@@ -40,7 +40,7 @@ def true_residual(fom, alphas, vals, Y):
 
 
 def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
-        maxiter=None, ny=None):
+        maxiter=None, ny=None, sym=False, fused_rr=True):
     # FOM only -- skip make_fom_rom_pair's dense W (1M x 81 at 1024^2)
     ny = ny or n
     grid = fem.StructuredTriGrid(n, ny)
@@ -50,7 +50,7 @@ def run(n, B, precond_dtype, reps=3, precond="mg", fields="lognormal",
         make_batched_fom_solver)
     solve = jax.jit(make_batched_fom_solver(
         fom.op, fom.profile, precond=precond, precond_dtype=precond_dtype,
-        maxiter=maxiter))
+        maxiter=maxiter, sym=sym, fused_rr=fused_rr))
     key = jax.random.PRNGKey(0)
     if fields == "matern":
         # config-3's conductivity family: Matern-3/2, log-stddev 1.0 --
@@ -148,8 +148,45 @@ def envelope_study():
               f" residuals {rj:.1e} vs {rm:.1e})", flush=True)
 
 
+def sym_study():
+    """VERDICT r3 item 5: the stencil apply sits 1.6-1.8x off the 9-stream
+    roofline; the remaining lever is fewer streams per CG/MG iteration.
+    A/B the symmetric 4-coefficient apply (reuses each off-diagonal grid
+    for +dir/-dir coupling: 4 coefficient streams/apply instead of 7)
+    against the 7-grid form at the production shapes, both preconds."""
+    for (n, B, pc, dt) in [(64, 1024, "mg", "bfloat16"),
+                           (64, 1024, "jacobi", None),
+                           (128, 256, "mg", "float32"),
+                           (256, 64, "mg", "float32")]:
+        s7, r7 = run(n, B, dt, precond=pc, sym=False)
+        s4, r4 = run(n, B, dt, precond=pc, sym=True)
+        print(f"  -> {n}^2 {pc}: sym4 {s4 / s7:.3f}x vs 7-grid "
+              f"(residuals {r7:.1e} vs {r4:.1e})", flush=True)
+
+
+def rr_study():
+    """A/B the fused-rr CG loop (residual norm carried as a per-sample
+    scalar from the body) against the round-3 form (cond re-streams the
+    full residual each iteration).  Interleaved in ONE process, 2 rounds,
+    because cross-process variance on the tunnel reaches ~15-40%."""
+    for rnd in range(2):
+        for (n, B, pc, dt) in [(64, 1024, "mg", "bfloat16"),
+                               (64, 1024, "jacobi", None),
+                               (128, 256, "mg", "float32")]:
+            sa, _ = run(n, B, dt, reps=5, precond=pc, fused_rr=False)
+            sb, _ = run(n, B, dt, reps=5, precond=pc, fused_rr=True)
+            print(f"  -> rnd{rnd} {n}^2 {pc}: fused_rr {sb / sa:.3f}x "
+                  f"vs cond-side dot(r,r)", flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
+    if "--rr" in sys.argv:
+        rr_study()
+        return
+    if "--sym" in sys.argv:
+        sym_study()
+        return
     if "--threshold" in sys.argv:
         threshold_study()
         return

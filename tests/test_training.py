@@ -170,10 +170,14 @@ def test_trainer_micro_smoke(small_loaders, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
-@pytest.mark.slow
 def test_trainer_halts_on_divergence(small_loaders, tmp_path):
     """A non-finite ELBO at a monitor point raises TrainingDivergedError
-    instead of silently stepping on NaNs for the rest of a long run."""
+    instead of silently stepping on NaNs for the rest of a long run.
+
+    Deliberately in the FAST gate (~24 s: one debug-shadow trainer compile
+    + 6 steps): it guards the NaN-halt safety net for long runs, and a
+    regression here must not hide behind the ~20-min full suite (ADVICE
+    r3)."""
     from generative_physics_informed_pde_tpu.training import (
         TrainingDivergedError)
     dl, dlu = small_loaders
