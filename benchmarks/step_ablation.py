@@ -44,6 +44,8 @@ def build(variant: str, loaders, grid=64):
                        vo_spec={})
     if variant in ("no_pe", "sup_only"):
         params.trainer["N_PE_updates"] = 0
+    if variant == "pe_bf16":
+        params.trainer["PE_compute_dtype"] = "bfloat16"
 
     src_dl, src_dlu = loaders
     dl = DataLoader(src_dl.X, X_DG=src_dl._X_DG, Y=src_dl._Y,
@@ -66,6 +68,26 @@ def main():
     n_steps = int(args[0]) if args else (200 if grid == 128 else 500)
     _, dl, dlu = bench.build_trainer(grid=grid)  # assembles labels once
     loaders = (dl, dlu)
+
+    if "--ab-pe" in sys.argv:
+        # interleaved same-process A/B (cross-run variance on the tunneled
+        # runtime reaches 15-40%; alternate chunks instead)
+        trs = {v: build(v, loaders, grid=grid)
+               for v in ("full", "pe_bf16")}
+        acc = {v: [] for v in trs}
+        for v, tr in trs.items():   # compile both first
+            bench.measure_steps_per_sec(tr, 25)
+        for _ in range(4):
+            for v, tr in trs.items():
+                acc[v].append(bench.measure_steps_per_sec(
+                    tr, max(50, n_steps // 4)))
+        for v, runs in acc.items():
+            ms = [1e3 / r for r in runs]
+            print(f"{v:<10} {np.median(runs):8.1f} steps/s  "
+                  f"{np.median(ms):6.3f} ms/step  "
+                  f"(chunks: {' '.join(f'{r:.1f}' for r in runs)})",
+                  flush=True)
+        return
 
     rows = []
     for variant in ("full", "no_pe", "no_unsup", "sup_only"):

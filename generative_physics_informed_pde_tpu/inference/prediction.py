@@ -27,22 +27,35 @@ class PredictionEnsemble:
     model: "GenerativeModel"  # noqa: F821
     X: jnp.ndarray            # validation fields (N, py, px)
     optimizer: optax.GradientTransformation
+    # Hot-loop decode compute dtype (None = the model's own precision).
+    # The inner SVI only optimises the VALIDATION posterior q -- it never
+    # touches model parameters -- so reduced precision here cannot perturb
+    # the training trajectory; the finalize-time refinement passes
+    # ``final=True`` to run at full precision before the final metrics.
+    compute_dtype: object = None
+
+    def _decoder_module(self, final: bool):
+        if final or self.compute_dtype is None:
+            return None
+        return self.model.f.clone(compute_dtype=self.compute_dtype)
 
     def init(self, dtype=jnp.float32) -> Tuple[dict, optax.OptState]:
         q = va.init_variational(self.X.shape[0], self.model.dim_latent,
                                 dtype=dtype)
         return q, self.optimizer.init(q)
 
-    def elbo(self, params, batch_stats, q, key):
+    def elbo(self, params, batch_stats, q, key, *, final: bool = False):
         """Reconstruction-only ELBO (reference: components.py:357-363)."""
         k1, kd = jax.random.split(key)
         Z = va.sample(q, k1)
-        predict_x, _ = self.model.apply_decoder(params, batch_stats, Z,
-                                                train=True, key=kd)
+        predict_x, _ = self.model.apply_decoder(
+            params, batch_stats, Z, train=True, key=kd,
+            module=self._decoder_module(final))
         logL = self.model.random_field_likelihood(predict_x, self.X)
         return logL - va.kld(q), logL
 
-    def update(self, params, batch_stats, q, opt_state, key, num_iter: int):
+    def update(self, params, batch_stats, q, opt_state, key, num_iter: int,
+               final: bool = False):
         """num_iter Adam steps on q only (reference: components.py:365-388).
         Pure: returns (q, opt_state, last_elbo, last_logL)."""
 
@@ -51,7 +64,8 @@ class PredictionEnsemble:
             k = jax.random.fold_in(key, i)
 
             def loss(qp):
-                elbo, logL = self.elbo(params, batch_stats, qp, k)
+                elbo, logL = self.elbo(params, batch_stats, qp, k,
+                                       final=final)
                 return -elbo, logL
 
             (neg_elbo, logL), grads = jax.value_and_grad(

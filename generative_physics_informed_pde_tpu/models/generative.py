@@ -137,15 +137,20 @@ class GenerativeModel:
         return params, batch_stats
 
     # ------------------------------------------------------- applications
-    def apply_decoder(self, params, batch_stats, z, *, train: bool, key=None):
+    def apply_decoder(self, params, batch_stats, z, *, train: bool, key=None,
+                      module: Optional[nn.Module] = None):
+        """``module`` overrides the decoder module (same parameter pytree);
+        used by PredictionEnsemble to run its hot loop through a reduced-
+        precision clone of ``f`` (see prediction.py)."""
+        f = self.f if module is None else module
         variables = {"params": params["f"],
                      "batch_stats": batch_stats.get("f", {})}
         rngs = {"dropout": key} if key is not None else None
         if train:
-            out, mut = self.f.apply(variables, z, train=True,
-                                    mutable=["batch_stats"], rngs=rngs)
+            out, mut = f.apply(variables, z, train=True,
+                               mutable=["batch_stats"], rngs=rngs)
             return out, mut["batch_stats"]
-        return self.f.apply(variables, z, train=False), batch_stats.get("f", {})
+        return f.apply(variables, z, train=False), batch_stats.get("f", {})
 
     def apply_encoder(self, params, batch_stats, x, *, train: bool, key=None):
         variables = {"params": params["encoder"],

@@ -39,6 +39,12 @@ DEFAULT_CONFIG = dict(
     l1_penalty=None,
     N_PE_updates=3,
     N_PE_updates_final=100,
+    # Prediction-ensemble hot-loop decode dtype ('bfloat16' or None).
+    # The inner SVI optimises only the validation posterior -- never model
+    # parameters -- so bf16 there cannot perturb training, and finalize
+    # re-refines q at full precision before the final metrics.  Measured
+    # at 128^2 (PARITY.md round 4): None at 64^2 (op-count-bound, no win).
+    PE_compute_dtype=None,
     N_monte_carlo_analysis=64,
     N_monte_carlo_analysis_final=128,
     N_monitor_interval=500,
@@ -381,9 +387,13 @@ class Trainer:
             else scheduler_spec
         pe_sched = make_schedule(pe_spec, lr,
                                  steps_per_update=self.get("N_PE_updates"))
+        pe_dt = self.get("PE_compute_dtype")
+        if pe_dt is not None:
+            from ..factories.model import fetch_dtype
+            pe_dt = fetch_dtype(pe_dt) if isinstance(pe_dt, str) else pe_dt
         self._PE = PredictionEnsemble(
             model=self.model, X=ds["validation"].get("X"),
-            optimizer=optax.adam(pe_sched))
+            optimizer=optax.adam(pe_sched), compute_dtype=pe_dt)
         pe_q, pe_opt_state = self._PE.init(dtype=dt)
 
         self.state = TrainState(
@@ -669,12 +679,15 @@ class Trainer:
         # dispatch latency 250 times over)
         n_final = self.get("N_PE_updates_final") * self.get("N_PE_updates")
         if n_final > 0:
-            pe_update = jax.jit(self._PE.update, static_argnames=("num_iter",))
+            pe_update = jax.jit(self._PE.update,
+                                static_argnames=("num_iter", "final"))
             key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 13),
                                      self.gn)
+            # final=True: full-precision refinement regardless of the
+            # hot loop's PE_compute_dtype, so final metrics see an f32 q
             pe_q, pe_opt_state, _, _ = pe_update(
                 self.state.params, self.state.batch_stats, self.state.pe_q,
-                self.state.pe_opt_state, key, num_iter=n_final)
+                self.state.pe_opt_state, key, num_iter=n_final, final=True)
             self.state = self.state.replace(pe_q=pe_q,
                                             pe_opt_state=pe_opt_state)
         self._analysis.eval_all_y(

@@ -170,6 +170,48 @@ def test_trainer_micro_smoke(small_loaders, tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_prediction_ensemble_bf16_hot_loop(small_loaders, tmp_path):
+    """PE_compute_dtype='bfloat16': the inner SVI decodes through a bf16
+    clone of the decoder (validation-only, cannot perturb training), while
+    ``final=True`` (the finalize-time refinement) runs the unmodified f32
+    module -- it must be bit-identical to a compute_dtype=None ensemble."""
+    import dataclasses
+
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    params.trainer["N_monitor_interval"] = 0
+    params.trainer["N_PE_updates_final"] = 1
+    params.trainer["PE_compute_dtype"] = "bfloat16"
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    q0 = jax.tree_util.tree_map(np.asarray, tr.state.pe_q)
+    tr.run(2, verbose=False)
+    res = tr.results()
+    assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
+    q1 = jax.tree_util.tree_map(np.asarray, tr.state.pe_q)
+    assert all(np.all(np.isfinite(leaf))
+               for leaf in jax.tree_util.tree_leaves(q1))
+    assert not np.allclose(q0["mean"], q1["mean"])  # the bf16 loop moved q
+
+    # final=True bypasses the bf16 clone: identical to an f32 ensemble
+    pe32 = dataclasses.replace(tr._PE, compute_dtype=None)
+    k = jax.random.PRNGKey(3)
+    e_final = jax.jit(lambda q: tr._PE.elbo(
+        tr.state.params, tr.state.batch_stats, q, k, final=True)[0])(
+            tr.state.pe_q)
+    e_f32 = jax.jit(lambda q: pe32.elbo(
+        tr.state.params, tr.state.batch_stats, q, k)[0])(tr.state.pe_q)
+    assert float(e_final) == float(e_f32)
+    # and the bf16 hot-loop elbo differs only by rounding noise
+    e_bf16 = jax.jit(lambda q: tr._PE.elbo(
+        tr.state.params, tr.state.batch_stats, q, k)[0])(tr.state.pe_q)
+    assert np.isfinite(float(e_bf16))
+    np.testing.assert_allclose(float(e_bf16), float(e_f32), rtol=0.05)
+    tr.finalize()  # exercises the final=True jitted refinement
+
+
 def test_trainer_halts_on_divergence(small_loaders, tmp_path):
     """A non-finite ELBO at a monitor point raises TrainingDivergedError
     instead of silently stepping on NaNs for the rest of a long run.
