@@ -27,7 +27,7 @@ def log(*a):
 
 
 def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64,
-                  fuse=False):
+                  fuse=False, trainer_overrides=None):
     import jax
     from generative_physics_informed_pde_tpu.data import DataLoader
     from generative_physics_informed_pde_tpu.fem import GaussianRandomField
@@ -45,6 +45,8 @@ def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64,
                        vo_spec={})
     if fuse:  # one batched decode per ELBO (--fuse; see PARITY.md)
         params.margs = {"fuse_decodes": True}
+    if trainer_overrides:
+        params.trainer.update(trainer_overrides)
 
     if loaders is not None:
         # reuse the already-assembled arrays (fresh partition state)

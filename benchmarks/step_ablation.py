@@ -46,6 +46,12 @@ def build(variant: str, loaders, grid=64):
         params.trainer["N_PE_updates"] = 0
     if variant == "pe_bf16":
         params.trainer["PE_compute_dtype"] = "bfloat16"
+    if variant == "pe_f32":
+        # explicit: the 'auto' default itself resolves to bf16 at >=128^2,
+        # so the A/B baseline arm must force the f32 hot loop
+        params.trainer["PE_compute_dtype"] = None
+    if variant == "fuse":
+        params.margs = {"fuse_decodes": True}
 
     src_dl, src_dlu = loaders
     dl = DataLoader(src_dl.X, X_DG=src_dl._X_DG, Y=src_dl._Y,
@@ -69,11 +75,12 @@ def main():
     _, dl, dlu = bench.build_trainer(grid=grid)  # assembles labels once
     loaders = (dl, dlu)
 
-    if "--ab-pe" in sys.argv:
+    if "--ab-pe" in sys.argv or "--ab-fuse" in sys.argv:
         # interleaved same-process A/B (cross-run variance on the tunneled
         # runtime reaches 15-40%; alternate chunks instead)
-        trs = {v: build(v, loaders, grid=grid)
-               for v in ("full", "pe_bf16")}
+        arms = (("pe_f32", "pe_bf16") if "--ab-pe" in sys.argv
+                else ("full", "fuse"))
+        trs = {v: build(v, loaders, grid=grid) for v in arms}
         acc = {v: [] for v in trs}
         for v, tr in trs.items():   # compile both first
             bench.measure_steps_per_sec(tr, 25)

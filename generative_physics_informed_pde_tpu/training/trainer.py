@@ -39,12 +39,15 @@ DEFAULT_CONFIG = dict(
     l1_penalty=None,
     N_PE_updates=3,
     N_PE_updates_final=100,
-    # Prediction-ensemble hot-loop decode dtype ('bfloat16' or None).
-    # The inner SVI optimises only the validation posterior -- never model
-    # parameters -- so bf16 there cannot perturb training, and finalize
-    # re-refines q at full precision before the final metrics.  Measured
-    # at 128^2 (PARITY.md round 4): None at 64^2 (op-count-bound, no win).
-    PE_compute_dtype=None,
+    # Prediction-ensemble hot-loop decode dtype: 'auto' (default),
+    # 'bfloat16', or None.  The inner SVI optimises only the validation
+    # posterior -- never model parameters -- so bf16 there cannot perturb
+    # the training trajectory, and finalize re-refines q at full precision
+    # before the final metrics.  'auto' resolves to bf16 when the decode
+    # grid is >= 128^2 (measured 1.16x full-step win at 128^2; no win at
+    # 64^2 where the step is op-count-bound -- PARITY.md round 4) and
+    # to None below that.
+    PE_compute_dtype="auto",
     N_monte_carlo_analysis=64,
     N_monte_carlo_analysis_final=128,
     N_monitor_interval=500,
@@ -92,6 +95,20 @@ DEBUG_CONFIG = dict(
 
 class TrainingDivergedError(RuntimeError):
     """Raised at a monitor point when the ELBO has gone non-finite."""
+
+
+def resolve_pe_compute_dtype(pe_dt, x_shape):
+    """Resolve the PE_compute_dtype config value against the validation
+    field shape (..., py, px).  'auto' -> bf16 hot loop only where measured
+    to win (PARITY round 4): >= 128^2 decodes are MXU/HBM-bound (1.16x
+    full-step); below that the step is op-count-bound and reduced
+    precision buys nothing."""
+    if isinstance(pe_dt, str) and pe_dt == "auto":
+        pe_dt = "bfloat16" if min(x_shape[-2:]) >= 128 else None
+    if isinstance(pe_dt, str):
+        from ..factories.model import fetch_dtype
+        return fetch_dtype(pe_dt)
+    return pe_dt
 
 
 class TrainerParameters:
@@ -387,12 +404,11 @@ class Trainer:
             else scheduler_spec
         pe_sched = make_schedule(pe_spec, lr,
                                  steps_per_update=self.get("N_PE_updates"))
-        pe_dt = self.get("PE_compute_dtype")
-        if pe_dt is not None:
-            from ..factories.model import fetch_dtype
-            pe_dt = fetch_dtype(pe_dt) if isinstance(pe_dt, str) else pe_dt
+        X_val = ds["validation"].get("X")
+        pe_dt = resolve_pe_compute_dtype(self.get("PE_compute_dtype"),
+                                         X_val.shape)
         self._PE = PredictionEnsemble(
-            model=self.model, X=ds["validation"].get("X"),
+            model=self.model, X=X_val,
             optimizer=optax.adam(pe_sched), compute_dtype=pe_dt)
         pe_q, pe_opt_state = self._PE.init(dtype=dt)
 

@@ -212,6 +212,30 @@ def test_prediction_ensemble_bf16_hot_loop(small_loaders, tmp_path):
     tr.finalize()  # exercises the final=True jitted refinement
 
 
+def test_pe_compute_dtype_auto_resolution(small_loaders, tmp_path):
+    """'auto' (the default) resolves by decode grid: bf16 only >= 128^2
+    where the A/B measured a win; None below (PARITY round 4)."""
+    import jax.numpy as jnp
+    from generative_physics_informed_pde_tpu.training.trainer import (
+        resolve_pe_compute_dtype)
+
+    assert resolve_pe_compute_dtype("auto", (8, 128, 128)) == jnp.bfloat16
+    assert resolve_pe_compute_dtype("auto", (8, 256, 128)) == jnp.bfloat16
+    assert resolve_pe_compute_dtype("auto", (8, 64, 64)) is None
+    assert resolve_pe_compute_dtype("auto", (8, 128, 64)) is None
+    assert resolve_pe_compute_dtype(None, (8, 128, 128)) is None
+    assert resolve_pe_compute_dtype("bfloat16", (8, 8, 8)) == jnp.bfloat16
+
+    # a small-grid trainer under the default config gets a None PE dtype
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    assert tr._PE.compute_dtype is None
+
+
 def test_trainer_halts_on_divergence(small_loaders, tmp_path):
     """A non-finite ELBO at a monitor point raises TrainingDivergedError
     instead of silently stepping on NaNs for the rest of a long run.
