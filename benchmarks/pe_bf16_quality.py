@@ -1,14 +1,23 @@
-"""Paired quality check for the bf16 PredictionEnsemble hot loop at 128^2.
+"""Paired quality checks for PredictionEnsemble hot-loop optimizations
+at 128^2.
 
-Two identical-seed 'highres128' bench-recipe runs (PE_compute_dtype None
-vs 'bfloat16'), same data, N steps each, then finalize() and compare the
-final validation metrics.  By construction the *training* trajectory is
-independent of pe_q (the inner SVI only optimises the validation
-posterior), so the only thing at risk is whether the f32 finalize-time
-refinement recovers the same q optimum from a bf16-converged start --
-this run measures exactly that.
+Default mode (PE decode dtype): two identical-seed 'highres128'
+bench-recipe runs (PE_compute_dtype None vs 'bfloat16'), same data, N
+steps each, then finalize() and compare the final validation metrics.
+By construction the *training* trajectory is independent of pe_q (the
+inner SVI only optimises the validation posterior), so the only thing at
+risk is whether the f32 finalize-time refinement recovers the same q
+optimum from a bf16-converged start -- this run measures exactly that.
 
-Usage:  python benchmarks/pe_bf16_quality.py [n_steps]    (default 1500)
+--interval mode (PE update cadence): N_PE_interval 1 vs 4 with
+monitoring ON (every 250 steps).  Model parameters are bit-identical by
+construction (tests/test_training.py::test_pe_interval_training_
+invariant); what the monitor-point re-convergence burst must protect is
+the MONITOR metric series -- compared point by point here -- plus the
+final metrics.
+
+Usage:  python benchmarks/pe_bf16_quality.py [n_steps] [--interval]
+        (default 1500 steps)
 """
 
 import sys
@@ -17,21 +26,19 @@ import time
 import numpy as np
 
 
-def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+def run_pair(n_steps, arm_overrides, monitor_interval=None):
     sys.path.insert(0, ".")
     import bench
 
-    rows = {}
+    rows, series = {}, {}
     loaders = None
-    for mode in ("f32", "bf16"):
+    for mode, ov in arm_overrides.items():
         t0 = time.time()
-        # explicit override both ways: the default is 'auto', which itself
-        # resolves to bf16 at 128^2 -- the f32 arm must force None.
         # lr 1e-3 = the converged-run recipes' value (bench's throughput
         # lr 1e-2 diverges over 1500 steps at 128^2 -- NaN in BOTH arms)
-        ov = {"PE_compute_dtype": "bfloat16" if mode == "bf16" else None,
-              "lr_init": 1e-3}
+        ov = dict(ov, lr_init=1e-3)
+        if monitor_interval is not None:
+            ov["N_monitor_interval"] = monitor_interval
         tr, dl, dlu = bench.build_trainer(grid=128, loaders=loaders,
                                           trainer_overrides=ov)
         loaders = (dl, dlu)
@@ -40,13 +47,41 @@ def main():
         res = tr.results()
         rows[mode] = {k: float(v) for k, v in res.items()
                       if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+        series[mode] = {k: list(tr._analysis.series[k].value)
+                        for k in ("relerr_y", "r2_y", "logscore_y")}
         print(f"{mode}: {rows[mode]}  (wall {time.time() - t0:.0f}s)",
               flush=True)
+    return rows, series
 
-    print("\npaired deltas (bf16 - f32):", flush=True)
-    for k in rows["f32"]:
-        if k in rows["bf16"]:
-            print(f"  {k:<14} {rows['bf16'][k] - rows['f32'][k]:+.5f}")
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_steps = int(args[0]) if args else 1500
+
+    if "--interval" in sys.argv:
+        arms = {"int1": {"N_PE_interval": 1},
+                "int4": {"N_PE_interval": 4}}
+        rows, series = run_pair(n_steps, arms, monitor_interval=250)
+        a, b = "int1", "int4"
+    else:
+        # explicit override both ways: the default is 'auto', which itself
+        # resolves to bf16 at 128^2 -- the f32 arm must force None
+        arms = {"f32": {"PE_compute_dtype": None},
+                "bf16": {"PE_compute_dtype": "bfloat16"}}
+        rows, series = run_pair(n_steps, arms)
+        a, b = "f32", "bf16"
+
+    print(f"\npaired deltas ({b} - {a}):", flush=True)
+    for k in rows[a]:
+        if k in rows[b]:
+            print(f"  {k:<14} {rows[b][k] - rows[a][k]:+.5f}")
+    for k in series[a]:
+        va, vb = np.asarray(series[a][k]), np.asarray(series[b][k])
+        n = min(len(va), len(vb))
+        if n:
+            d = np.abs(vb[:n] - va[:n])
+            print(f"  monitor series {k:<12} n={n} "
+                  f"max|delta|={d.max():.5f} mean|delta|={d.mean():.5f}")
 
 
 if __name__ == "__main__":

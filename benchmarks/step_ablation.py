@@ -52,6 +52,8 @@ def build(variant: str, loaders, grid=64):
         params.trainer["PE_compute_dtype"] = None
     if variant == "fuse":
         params.margs = {"fuse_decodes": True}
+    if variant.startswith("pe_int"):
+        params.trainer["N_PE_interval"] = int(variant[len("pe_int"):])
 
     src_dl, src_dlu = loaders
     dl = DataLoader(src_dl.X, X_DG=src_dl._X_DG, Y=src_dl._Y,
@@ -75,11 +77,14 @@ def main():
     _, dl, dlu = bench.build_trainer(grid=grid)  # assembles labels once
     loaders = (dl, dlu)
 
-    if "--ab-pe" in sys.argv or "--ab-fuse" in sys.argv:
+    ab_flags = {"--ab-pe": ("pe_f32", "pe_bf16"),
+                "--ab-fuse": ("full", "fuse"),
+                "--ab-interval": ("full", "pe_int2", "pe_int4", "pe_int8")}
+    hit = [f for f in ab_flags if f in sys.argv]
+    if hit:
         # interleaved same-process A/B (cross-run variance on the tunneled
         # runtime reaches 15-40%; alternate chunks instead)
-        arms = (("pe_f32", "pe_bf16") if "--ab-pe" in sys.argv
-                else ("full", "fuse"))
+        arms = ab_flags[hit[0]]
         trs = {v: build(v, loaders, grid=grid) for v in arms}
         acc = {v: [] for v in trs}
         for v, tr in trs.items():   # compile both first

@@ -39,6 +39,21 @@ DEFAULT_CONFIG = dict(
     l1_penalty=None,
     N_PE_updates=3,
     N_PE_updates_final=100,
+    # Run the PE inner SVI only every k-th training step (1 = every step,
+    # the reference cadence, training.py:441-449).  The PE posterior is
+    # consumed ONLY at monitor points and finalize -- it never feeds back
+    # into model parameters or batch stats (PredictionEnsemble.elbo
+    # discards the BN update), so the training trajectory is bit-identical
+    # at any interval (tested).  When > 1, each monitor point first runs a
+    # re-convergence burst (N_PE_updates_monitor inner iterations) so the
+    # analysed q is as converged as the every-step cadence's.  Default 4:
+    # measured 1.25x full-step at 128^2 and 1.14x at 64^2, with the
+    # monitor metric series identical to 5 decimals vs interval 1
+    # (PARITY.md round 4).  Pass 1 for the reference's every-step cadence.
+    N_PE_interval=4,
+    # inner PE iterations of the monitor-point burst (only used when
+    # N_PE_interval > 1); None -> 8 * N_PE_updates
+    N_PE_updates_monitor=None,
     # Prediction-ensemble hot-loop decode dtype: 'auto' (default),
     # 'bfloat16', or None.  The inner SVI optimises only the validation
     # posterior -- never model parameters -- so bf16 there cannot perturb
@@ -410,6 +425,7 @@ class Trainer:
         self._PE = PredictionEnsemble(
             model=self.model, X=X_val,
             optimizer=optax.adam(pe_sched), compute_dtype=pe_dt)
+        self._pe_burst_update = None  # (re)built lazily against this _PE
         pe_q, pe_opt_state = self._PE.init(dtype=dt)
 
         self.state = TrainState(
@@ -470,6 +486,7 @@ class Trainer:
         pe = self._PE
         armortized_bs = self._armortized_bs
         n_pe = self.get("N_PE_updates")
+        n_pe_interval = int(self.get("N_PE_interval") or 1)
         normalize = self.get("normalize")
         l2_penalty = self.get("l2_penalty")
         if self.get("l1_penalty") is not None:
@@ -523,9 +540,22 @@ class Trainer:
                                                   state.params)
             params = optax.apply_updates(state.params, updates)
 
-            pe_q, pe_opt_state, pe_elbo, pe_logL = pe.update(
-                params, batch_stats, state.pe_q, state.pe_opt_state, k_pe,
-                n_pe)
+            if n_pe_interval <= 1:
+                pe_q, pe_opt_state, pe_elbo, pe_logL = pe.update(
+                    params, batch_stats, state.pe_q, state.pe_opt_state,
+                    k_pe, n_pe)
+            else:
+                # cadence-gated PE: q is consumed only at monitor points
+                # (which re-converge it with a burst first), so skipped
+                # steps carry q/opt unchanged and log NaN metrics -- the
+                # monitor overwrites them with the post-burst values
+                nanm = jnp.full((), jnp.nan, dtype=pe.X.dtype)
+                pe_q, pe_opt_state, pe_elbo, pe_logL = jax.lax.cond(
+                    state.step % n_pe_interval == 0,
+                    lambda a: pe.update(*a, n_pe),
+                    lambda a: (a[2], a[3], nanm, nanm),
+                    (params, batch_stats, state.pe_q, state.pe_opt_state,
+                     k_pe))
             logs = dict(logs)
             logs["PredictionEnsemble/elbo"] = pe_elbo
             logs["PredictionEnsemble/logL"] = pe_logL
@@ -682,6 +712,7 @@ class Trainer:
                     self.state = self.state.replace(
                         opt_state=self.state.opt_state._replace(
                             hyperparams=hp))
+                logs = self._pe_monitor_burst(logs)
                 self._record(n_last, logs)
                 if verbose:
                     print(f"Step: {n_last} / {N} || "
@@ -713,6 +744,34 @@ class Trainer:
             iteration=self.gn + self.get("N_PE_updates_final"))
 
     # ---------------------------------------------------------- monitoring
+    def _pe_monitor_burst(self, logs: dict) -> dict:
+        """With N_PE_interval > 1, re-converge the PE posterior to the
+        CURRENT params before the monitor analysis (the hot loop only
+        updates it every k-th step) and substitute the post-burst PE
+        metrics for the step's (possibly NaN-skipped) ones."""
+        if int(self.get("N_PE_interval") or 1) <= 1:
+            return logs
+        n_burst = self.get("N_PE_updates_monitor")
+        if n_burst is None:
+            n_burst = 8 * self.get("N_PE_updates")
+        if n_burst <= 0:
+            return logs
+        if getattr(self, "_pe_burst_update", None) is None:
+            self._pe_burst_update = jax.jit(
+                self._PE.update, static_argnames=("num_iter", "final"))
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed + 37), self.gn)
+        pe_q, pe_opt_state, pe_elbo, pe_logL = self._pe_burst_update(
+            self.state.params, self.state.batch_stats, self.state.pe_q,
+            self.state.pe_opt_state, key, num_iter=int(n_burst))
+        self.state = self.state.replace(pe_q=pe_q, pe_opt_state=pe_opt_state)
+        logs = dict(logs)
+        logs["PredictionEnsemble/elbo"] = pe_elbo
+        logs["PredictionEnsemble/logL"] = pe_logL
+        logs["PredictionEnsemble/KLD"] = pe_logL - pe_elbo
+        logs["PredictionEnsemble/AvgLatentStddev"] = jnp.mean(
+            jnp.exp(pe_q["logsigma"]))
+        return logs
+
     def _record(self, n: int, logs: dict):
         gn = self.gn
         self.writer.add_scalars({k: v for k, v in logs.items()}, gn,

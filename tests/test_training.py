@@ -236,6 +236,87 @@ def test_pe_compute_dtype_auto_resolution(small_loaders, tmp_path):
     assert tr._PE.compute_dtype is None
 
 
+def test_pe_interval_training_invariant(small_loaders, tmp_path):
+    """N_PE_interval > 1 skips PE inner updates on off-cadence steps.  The
+    PE posterior never feeds back into model parameters or batch stats
+    (PredictionEnsemble.elbo discards the BN update), so the TRAINING
+    trajectory must match the every-step cadence; and pe_q must only move
+    on cadence steps."""
+    dl, dlu = small_loaders
+    trs = {}
+    for interval in (1, 3):
+        d2 = DataLoader(dl.X.copy())
+        d2u = DataLoader(dlu.X.copy())
+        d2u.lock_physics_assembly()
+        params = _params()
+        params.folder = str(tmp_path / f"i{interval}")
+        params.trainer["N_monitor_interval"] = 0
+        params.trainer["N_PE_updates_final"] = 0
+        params.trainer["N_PE_interval"] = interval
+        trs[interval] = CreateTrainerFromPermutation(
+            params, permutation=np.arange(d2.N),
+            permutation_u=np.arange(d2u.N), dl=d2, dlu=d2u)
+
+    # drive the jitted step directly: Trainer.run's end-of-run PE
+    # refinement (N_PE_updates_final, = 5 under the debug shadow) would
+    # otherwise move q every call and mask the cadence
+    def one_step(tr):
+        dummy = tuple(jnp.zeros((1, 1), dtype=tr.dtype) for _ in range(2))
+        tr.state, logs = tr._train_step(tr.state, *dummy, holdoff=False,
+                                        n_steps=1)
+        return logs
+
+    # interval=3 trainer: q moves at state.step 0 (0 % 3 == 0), is frozen
+    # at steps 1 and 2, moves again at step 3
+    tr3 = trs[3]
+    q0 = np.asarray(tr3.state.pe_q["mean"])
+    one_step(tr3)
+    q1 = np.asarray(tr3.state.pe_q["mean"])
+    assert not np.allclose(q0, q1)
+    logs = one_step(tr3)            # step 1: off-cadence
+    assert np.isnan(float(logs["PredictionEnsemble/elbo"]))
+    one_step(tr3)                   # step 2: off-cadence
+    np.testing.assert_array_equal(q1, np.asarray(tr3.state.pe_q["mean"]))
+    logs = one_step(tr3)            # step 3: on-cadence
+    assert not np.allclose(q1, np.asarray(tr3.state.pe_q["mean"]))
+    assert np.isfinite(float(logs["PredictionEnsemble/elbo"]))
+
+    for _ in range(4):
+        one_step(trs[1])
+    p1 = jax.tree_util.tree_leaves(trs[1].state.params)
+    p3 = jax.tree_util.tree_leaves(tr3.state.params)
+    for a, b in zip(p1, p3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_pe_interval_monitor_burst(small_loaders, tmp_path):
+    """At a monitor point with N_PE_interval > 1 the trainer re-converges
+    the PE posterior with a burst and records FINITE post-burst PE metrics
+    (off-cadence steps log NaN internally)."""
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    params.trainer["N_PE_interval"] = 3
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    q0 = np.asarray(tr.state.pe_q["mean"])
+    # under the debug shadow N_monitor_interval=5: the monitor fires after
+    # iteration n_last=5 (state.step 5, off-cadence for interval 3 -> the
+    # step itself logs NaN PE metrics and the burst must substitute finite
+    # ones)
+    tr.run(6, verbose=False)
+    series = tr.writer.scalars["PredictionEnsemble/elbo"]
+    assert len(series) >= 1
+    assert all(np.isfinite(v) for _, v in series)
+    res = tr.results()
+    assert np.isfinite(res["relerr_y"]) and np.isfinite(res["logscore_y"])
+    # the burst moved q even though step 3 (the monitor step) is on-cadence
+    # for its own update too
+    assert not np.allclose(q0, np.asarray(tr.state.pe_q["mean"]))
+
+
 def test_trainer_halts_on_divergence(small_loaders, tmp_path):
     """A non-finite ELBO at a monitor point raises TrainingDivergedError
     instead of silently stepping on NaNs for the rest of a long run.
