@@ -57,6 +57,9 @@ class ModelFactory:
             # fuse the per-modality decoder applies into one batched
             # decode per ELBO evaluation (see GenerativeModel.fuse_decodes)
             "fuse_decodes": False,
+            # rematerialize codec activations in the backward pass
+            # (see GenerativeModel.remat_codec)
+            "remat_codec": False,
         }
         self._identifier = None
         self._custom_params_set_flag = False
@@ -128,6 +131,7 @@ class ModelFactory:
             independent_X=self.params["independent_X"],
             binary_field=self.params["binary_field"],
             fuse_decodes=self.params["fuse_decodes"],
+            remat_codec=self.params["remat_codec"],
             dtype=self.dtype)
         discriminative = DiscriminativeModel(model)
         return physics, model, discriminative, encoder, self.dtype

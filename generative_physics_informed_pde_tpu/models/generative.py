@@ -74,6 +74,14 @@ class GenerativeModel:
     # are drawn per fused batch.  With train=False the fused path is
     # bit-identical to the unfused one.  Ignored when mc_sharding is set.
     fuse_decodes: bool = False
+    # Rematerialize codec activations in the backward pass
+    # (jax.checkpoint around the train-mode decoder/encoder applies).
+    # Bit-identical math -- the same ops are recomputed instead of having
+    # their activations round-trip HBM.  The 128^2 step is HBM-bound with
+    # ~1 GB/step of traffic against ~microseconds of MXU compute
+    # (PARITY.md 128^2 roofline), so trading recompute for activation
+    # traffic is the textbook lever; measured A/B in PARITY.md round 4.
+    remat_codec: bool = False
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------- shapes
@@ -147,8 +155,12 @@ class GenerativeModel:
                      "batch_stats": batch_stats.get("f", {})}
         rngs = {"dropout": key} if key is not None else None
         if train:
-            out, mut = f.apply(variables, z, train=True,
+            def _fwd(variables, z, rngs):
+                return f.apply(variables, z, train=True,
                                mutable=["batch_stats"], rngs=rngs)
+            if self.remat_codec:
+                _fwd = jax.checkpoint(_fwd)
+            out, mut = _fwd(variables, z, rngs)
             return out, mut["batch_stats"]
         return f.apply(variables, z, train=False), batch_stats.get("f", {})
 
@@ -157,8 +169,12 @@ class GenerativeModel:
                      "batch_stats": batch_stats.get("encoder", {})}
         rngs = {"dropout": key} if key is not None else None
         if train:
-            out, mut = self.encoder.apply(variables, x, train=True,
+            def _fwd(variables, x, rngs):
+                return self.encoder.apply(variables, x, train=True,
                                           mutable=["batch_stats"], rngs=rngs)
+            if self.remat_codec:
+                _fwd = jax.checkpoint(_fwd)
+            out, mut = _fwd(variables, x, rngs)
             return out, mut["batch_stats"]
         return (self.encoder.apply(variables, x, train=False),
                 batch_stats.get("encoder", {}))

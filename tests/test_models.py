@@ -344,6 +344,52 @@ def test_fused_decode_matches_unfused(physics):
     assert any(float(jnp.abs(g_).max()) > 0 for g_ in enc_leaves)
 
 
+@pytest.mark.slow
+def test_remat_codec_matches_plain(physics):
+    """remat_codec=True recomputes codec activations in the backward pass
+    instead of storing them (jax.checkpoint) -- same ops, so the train-mode
+    ELBO and every gradient leaf must be BIT-identical to the plain path."""
+    import dataclasses as _dc
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    enc = CNNEncoder(imsize=32, latent_dim=8, blocks=(1, 1), growth_rate=4,
+                     init_features=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=enc,
+                            dtype=jnp.float32)
+    remat = _dc.replace(model, remat_codec=True)
+
+    rng = np.random.default_rng(1)
+    Ns, Nu = 3, 4
+    dim_y, n_rom = physics["fom"].dim_out, physics["rom"].grid.n_nodes
+    data = {
+        "supervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), jnp.float32),
+            "Y": jnp.asarray(rng.normal(size=(Ns, dim_y)), jnp.float32),
+            "F_ROM_BC": jnp.zeros((Ns, n_rom), jnp.float32)},
+        "unsupervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Nu, 32, 32)), jnp.float32)},
+    }
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    key = jax.random.PRNGKey(11)
+
+    def loss(m):
+        def inner(p):
+            e, _, _ = m.elbo(p, bs, data, key, train=True)
+            return -e
+        return jax.jit(jax.value_and_grad(inner))(params)
+
+    v_plain, g_plain = loss(model)
+    v_remat, g_remat = loss(remat)
+    np.testing.assert_array_equal(np.asarray(v_plain), np.asarray(v_remat))
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_codec_bfloat16_compute_dtype():
     """compute_dtype='bfloat16': params and outputs stay f32, values track
     the f32 path to bf16 precision (mixed-precision MXU path)."""
