@@ -188,14 +188,18 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
             # loud fallback: at this size Jacobi-PCG is 2.7-12.7x slower
             # than MG (measured); the user should know why they get it
             import warnings
-            why = ("an odd grid dimension prevents coarsening"
-                   if grid.nx % 2 or grid.ny % 2 else
-                   "a non-standard constraint profile")
+            if grid.nx % 2 or grid.ny % 2:
+                why = ("an odd grid dimension prevents coarsening; pad "
+                       "the grid to even dims to enable it")
+            else:
+                why = ("a non-standard constraint profile (the V-cycle "
+                       "level masks assume the left/right "
+                       "DirichletProfile)")
             warnings.warn(
                 f"auto precond chose Jacobi-PCG for {grid.nx}x{grid.ny} "
                 f"because {why}; multigrid is 2.7-12.7x faster where it "
-                "applies (benchmarks/mg_bench.py --envelope). Pad the "
-                "grid to even dims to enable it.", stacklevel=2)
+                "applies (benchmarks/mg_bench.py --envelope).",
+                stacklevel=2)
     mg = None
     if precond == "mg":
         if not _std_profile:

@@ -41,9 +41,11 @@ def initialize(coordinator_address: Optional[str] = None,
                local_device_ids=None) -> bool:
     """Idempotent ``jax.distributed.initialize`` wrapper.
 
-    With no arguments, relies on the runtime's auto-detection (TPU pods:
-    the libtpu metadata; clusters: JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars).  Returns True if the
+    With no arguments, calls ``jax.distributed.initialize()`` (which
+    auto-detects TPU pods, GKE, Slurm and Open MPI launchers) whenever the
+    environment carries any multi-process signal; on a plain dev box with
+    no such signal it returns False WITHOUT touching the jax backend, so a
+    later call with explicit arguments still works.  Returns True if the
     distributed runtime is (now) active across >1 process, False for the
     single-process case.
 
@@ -60,13 +62,23 @@ def initialize(coordinator_address: Optional[str] = None,
     explicit = coordinator_address is not None
     import os
 
+    # every launcher jax's own cluster auto-detection knows how to wire
+    # (jax._src.clusters): explicit env wiring, Cloud TPU pod metadata,
+    # megascale, Slurm, Open MPI / mpiexec
     env_driven = any(k in os.environ for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_ID"))
-    if explicit or env_driven:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id,
-            local_device_ids=local_device_ids)
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_ID",
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"))
+    if not (explicit or env_driven):
+        # no cluster signal: single-process.  Deliberately do NOT touch
+        # the backend (jax.process_count() would initialize it and make
+        # a later explicit initialize() impossible) and do NOT latch
+        # _initialized, so explicit wiring can still happen afterwards.
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
     _initialized = True
     return jax.process_count() > 1
 
@@ -111,12 +123,14 @@ def make_hybrid_mesh(local_axis_names: Sequence[str] = ("dp",),
     return Mesh(arr, (dcn_axis,) + tuple(local_axis_names))
 
 
-def local_shard_slice(n: int, axis_size: Optional[int] = None) -> slice:
+def local_shard_slice(n: int) -> slice:
     """The [start, stop) slice of a length-``n`` global batch this process
     owns under contiguous process-major 'dp' sharding.  Lets a DataLoader
     assemble ONLY its host's shard of a large dataset (process-local
     loading; each host then contributes its block via
-    ``global_array_from_local``)."""
+    ``global_array_from_local``).  The split is always by process -- on a
+    hybrid (dcn x local) mesh the batch axis crosses hosts along 'dcn',
+    which is likewise process-major."""
     import jax
 
     p, np_ = jax.process_index(), jax.process_count()
@@ -162,10 +176,19 @@ def fetch(x):
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-def sweep_over_processes(fn, cases: Sequence, allgather: bool = True):
+def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
+                         return_exceptions: bool = False):
     """Host-sharded parameter study over DCN: process p runs cases
     ``p, p+P, p+2P, ...`` (round-robin), then results are allgathered so
     every process returns the full list.
+
+    A case that raises is captured (never propagated before the
+    allgather -- an uncaught exception on one host would leave its peers
+    blocked in the collective until the DCN timeout).  After the
+    exchange, failures raise a RuntimeError uniformly on EVERY process,
+    or -- with ``return_exceptions=True`` -- are returned in place as
+    ``{"__error__": repr}`` records (the reference PoolBoy's
+    error-accounting behaviour, parallel/utils.py:96-118).
 
     This is the multi-host replacement for the reference's swap-in MPI
     futures pool (reference parallel/utils.py:50-74): study cases that
@@ -177,18 +200,45 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True):
     import jax
 
     p, P_ = jax.process_index(), jax.process_count()
-    local = {i: fn(cases[i]) for i in range(p, len(cases), P_)}
+    local = {}
+    for i in range(p, len(cases), P_):
+        try:
+            local[i] = fn(cases[i])
+        except Exception as e:  # noqa: BLE001 -- kept aligned across hosts
+            local[i] = {"__error__": f"case {i}: {e!r}"}
+
+    def _finish(out):
+        errors = [v["__error__"] for v in out
+                  if isinstance(v, dict) and "__error__" in v]
+        if errors and not return_exceptions:
+            raise RuntimeError("sweep_over_processes case failures:\n  "
+                               + "\n  ".join(errors))
+        return out
+
     if P_ == 1 or not allgather:
-        return [local.get(i) for i in range(len(cases))]
+        return _finish([local.get(i) for i in range(len(cases))])
     # exchange the host-side python results across processes as padded
-    # JSON bytes via process_allgather (results must be JSON-able --
-    # study records are dicts/lists of numbers)
+    # JSON bytes via process_allgather.  Study records are dicts/lists of
+    # numbers; numpy scalars/arrays are converted via .item()/.tolist()
     import json
 
     from jax.experimental import multihost_utils
 
-    blob = np.frombuffer(json.dumps(
-        {str(k): v for k, v in local.items()}).encode(), np.uint8)
+    def _jsonable(v):
+        if hasattr(v, "tolist"):  # numpy / jax scalar or array
+            return v.tolist()
+        raise TypeError(f"sweep result of type {type(v).__name__} is not "
+                        "JSON-serializable; return dicts/lists of numbers")
+
+    try:
+        payload = json.dumps({str(k): v for k, v in local.items()},
+                             default=_jsonable)
+    except TypeError as e:
+        # still reach the collective -- peers must not block on our error
+        local = {k: {"__error__": f"case {k}: unserializable result "
+                                  f"({e})"} for k in local}
+        payload = json.dumps({str(k): v for k, v in local.items()})
+    blob = np.frombuffer(payload.encode(), np.uint8)
     lens = np.asarray(multihost_utils.process_allgather(
         np.asarray([blob.size], np.int64))).reshape(P_)
     padded = np.zeros(int(lens.max()), np.uint8)
@@ -199,4 +249,4 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True):
         rec = json.loads(bytes(blobs[q, :int(lens[q])]).decode())
         for k, v in rec.items():
             out[int(k)] = v
-    return out
+    return _finish(out)

@@ -21,21 +21,24 @@ import optax
 
 
 def multistep_lr(lr_init: float, milestones: Sequence[int], factor: float,
-                 steps_per_update: int = 1) -> optax.Schedule:
+                 steps_per_update: float = 1) -> optax.Schedule:
     """lr_init scaled by ``factor`` at each milestone (in *training
     iterations*; ``steps_per_update`` converts to optimiser update counts
     when an optimiser takes several updates per training iteration, like
-    the prediction ensemble's inner Adam)."""
+    the prediction ensemble's inner Adam).  May be fractional: an
+    optimiser gated to every k-th training step advances updates/k counts
+    per iteration (e.g. the PE inner Adam under N_PE_interval)."""
     assert factor < 1
-    boundaries = {int(m) * steps_per_update: factor for m in milestones}
+    boundaries = {max(1, round(int(m) * steps_per_update)): factor
+                  for m in milestones}
     return optax.piecewise_constant_schedule(lr_init, boundaries)
 
 
 def step_lr(lr_init: float, step_size: int, factor: float = 0.1,
-            steps_per_update: int = 1) -> optax.Schedule:
+            steps_per_update: float = 1) -> optax.Schedule:
     assert factor < 1
     return optax.exponential_decay(
-        lr_init, transition_steps=step_size * steps_per_update,
+        lr_init, transition_steps=max(1, round(step_size * steps_per_update)),
         decay_rate=factor, staircase=True)
 
 
@@ -44,7 +47,7 @@ def constant_lr(lr_init: float) -> optax.Schedule:
 
 
 def make_schedule(spec: Optional[dict], lr_init: float,
-                  steps_per_update: int = 1) -> optax.Schedule:
+                  steps_per_update: float = 1) -> optax.Schedule:
     """Build a schedule from a reference-style spec dict:
     {'milestones': [...], 'factor': f} | {'step_size': n, 'factor': f} |
     None (constant)."""

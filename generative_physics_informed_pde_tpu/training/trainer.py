@@ -417,8 +417,17 @@ class Trainer:
         # -- prediction ensemble -------------------------------------------
         pe_spec = None if (scheduler_spec and "patience" in scheduler_spec) \
             else scheduler_spec
-        pe_sched = make_schedule(pe_spec, lr,
-                                 steps_per_update=self.get("N_PE_updates"))
+        # The PE inner Adam's update count advances N_PE_updates per
+        # PE-ACTIVE step, i.e. N_PE_updates / N_PE_interval per training
+        # iteration on average -- scale the milestone conversion by that,
+        # so the PE lr decays at the documented training iterations
+        # regardless of the gating cadence.  (Monitor bursts add
+        # 8*N_PE_updates counts per monitor point, a few-% drift at the
+        # default cadences; the burst re-converges q anyway.)
+        pe_sched = make_schedule(
+            pe_spec, lr,
+            steps_per_update=(self.get("N_PE_updates")
+                              / max(1, int(self.get("N_PE_interval") or 1))))
         X_val = ds["validation"].get("X")
         pe_dt = resolve_pe_compute_dtype(self.get("PE_compute_dtype"),
                                          X_val.shape)

@@ -63,6 +63,26 @@ q_host = parallel.fetch(q)
 rows = parallel.sweep_over_processes(lambda c: c * c, list(range(5)))
 assert rows == [0, 1, 4, 9, 16], rows
 
+# numpy-typed results must survive the JSON exchange (study records are
+# commonly np.float32 metrics)
+rows_np = parallel.sweep_over_processes(
+    lambda c: {"m": np.float32(c + 0.5)}, list(range(4)))
+assert [r["m"] for r in rows_np] == [0.5, 1.5, 2.5, 3.5], rows_np
+
+
+# a raising case must NOT deadlock the peer in the allgather: both
+# processes get the full record list with the failure marked in place
+def _flaky(c):
+    if c == 2:
+        raise ValueError("case-two failure")
+    return c
+
+
+recs = parallel.sweep_over_processes(_flaky, list(range(4)),
+                                     return_exceptions=True)
+assert recs[0] == 0 and recs[1] == 1 and recs[3] == 3, recs
+assert "case-two failure" in recs[2]["__error__"], recs
+
 if pid == 0:
     np.savez(out, q=q_host)
 print(f"[p{pid}] OK q={q_host.shape}", flush=True)

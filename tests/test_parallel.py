@@ -37,6 +37,41 @@ def test_sweep_over_devices():
     np.testing.assert_allclose(np.asarray(out), expect)
 
 
+def test_sweep_over_processes_error_semantics():
+    """A case that raises is captured (multi-host: peers must reach the
+    allgather, never deadlock on one host's exception), then either
+    re-raised uniformly or returned as an ``__error__`` record."""
+    from generative_physics_informed_pde_tpu import parallel
+
+    def f(c):
+        if c == 1:
+            raise ValueError("boom")
+        return c * 2
+
+    with pytest.raises(RuntimeError, match="boom"):
+        parallel.sweep_over_processes(f, [0, 1, 2])
+    recs = parallel.sweep_over_processes(f, [0, 1, 2],
+                                         return_exceptions=True)
+    assert recs[0] == 0 and recs[2] == 4
+    assert "__error__" in recs[1] and "boom" in recs[1]["__error__"]
+
+
+def test_distributed_initialize_inert_without_cluster_signals(monkeypatch):
+    """With no coordinator args and no launcher env vars, initialize()
+    must return False WITHOUT touching the jax backend or latching its
+    idempotence flag -- a later explicit call must still be possible."""
+    from generative_physics_informed_pde_tpu.parallel import distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "TPU_WORKER_ID", "TPU_WORKER_HOSTNAMES",
+              "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+              "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setattr(distributed, "_initialized", False)
+    assert distributed.initialize() is False
+    assert distributed._initialized is False
+
+
 @pytest.mark.slow
 def test_uncertainty_sweep_sharded_matches_local():
     """The config-5 QOI sweep (examples/uncertainty_study.py) runs as one

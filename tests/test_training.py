@@ -290,6 +290,36 @@ def test_pe_interval_training_invariant(small_loaders, tmp_path):
                                    rtol=1e-6, atol=1e-8)
 
 
+def test_pe_schedule_scales_with_interval(small_loaders, tmp_path,
+                                          monkeypatch):
+    """The PE inner Adam advances N_PE_updates counts only every
+    N_PE_interval-th training step, so the trainer must convert schedule
+    milestones (in training iterations) with steps_per_update =
+    N_PE_updates / N_PE_interval -- otherwise the PE lr would decay
+    interval-times too late in training-step terms."""
+    import generative_physics_informed_pde_tpu.training.trainer as trmod
+
+    calls = []
+    orig = trmod.make_schedule
+
+    def spy(spec, lr, steps_per_update=1):
+        calls.append(steps_per_update)
+        return orig(spec, lr, steps_per_update)
+
+    monkeypatch.setattr(trmod, "make_schedule", spy)
+    dl, dlu = small_loaders
+    params = _params()
+    params.folder = str(tmp_path)
+    params.trainer["N_PE_interval"] = 4
+    tr = CreateTrainerFromPermutation(params, permutation=np.arange(dl.N),
+                                      permutation_u=np.arange(dlu.N),
+                                      dl=dl, dlu=dlu)
+    # the debug shadow may override N_PE_updates -- read the effective one
+    expected = tr.get("N_PE_updates") / 4
+    assert expected != tr.get("N_PE_updates")  # interval actually scales
+    assert expected in calls, (expected, calls)
+
+
 def test_pe_interval_monitor_burst(small_loaders, tmp_path):
     """At a monitor point with N_PE_interval > 1 the trainer re-converges
     the PE posterior with a burst and records FINITE post-burst PE metrics
@@ -480,6 +510,17 @@ def test_schedules():
     assert float(sched(0)) == 1.0
     assert float(sched(10)) == 0.5
     assert float(sched(25)) == 0.25
+    # fractional steps_per_update: an optimiser gated to every k-th
+    # training step advances updates/k counts per iteration (the PE inner
+    # Adam under N_PE_interval) -- milestone 100 with 3 updates every 4
+    # steps lands at inner count round(100 * 0.75) = 75
+    sched_frac = make_schedule({"milestones": [100], "factor": 0.5}, 1.0,
+                               steps_per_update=0.75)
+    assert float(sched_frac(74)) == 1.0
+    assert float(sched_frac(75)) == 0.5
+    sched_frac2 = make_schedule({"step_size": 100, "factor": 0.1}, 1.0,
+                                steps_per_update=0.75)
+    np.testing.assert_allclose(float(sched_frac2(75)), 0.1, rtol=1e-6)
     sched2 = make_schedule({"step_size": 10, "factor": 0.1}, 1.0)
     np.testing.assert_allclose(float(sched2(10)), 0.1, rtol=1e-6)
     sched3 = make_schedule(None, 3.0)
