@@ -27,7 +27,7 @@ def log(*a):
 
 
 def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64,
-                  fuse=False, trainer_overrides=None):
+                  fuse=False, trainer_overrides=None, model_overrides=None):
     import jax
     from generative_physics_informed_pde_tpu.data import DataLoader
     from generative_physics_informed_pde_tpu.fem import GaussianRandomField
@@ -45,6 +45,8 @@ def build_trainer(steps_milestones=(250, 1500), loaders=None, grid=64,
                        vo_spec={})
     if fuse:  # one batched decode per ELBO (--fuse; see PARITY.md)
         params.margs = {"fuse_decodes": True}
+    if model_overrides:
+        params.margs = dict(params.margs or {}, **model_overrides)
     if trainer_overrides:
         params.trainer.update(trainer_overrides)
 

@@ -16,8 +16,14 @@ invariant); what the monitor-point re-convergence burst must protect is
 the MONITOR metric series -- compared point by point here -- plus the
 final metrics.
 
-Usage:  python benchmarks/pe_bf16_quality.py [n_steps] [--interval]
-        (default 1500 steps)
+--unsup mode (scoped unsup-term bf16): unsup_compute_dtype None vs
+'bfloat16' with monitoring ON.  UNLIKE the PE modes this perturbs
+training (unsup gradients + shared BatchNorm stats see bf16
+activations), so the arms are NOT expected to match bit-for-bit; the
+question is whether the quality TRAJECTORY is equal within run noise.
+
+Usage:  python benchmarks/pe_bf16_quality.py [n_steps]
+        [--interval | --unsup]   (default 1500 steps)
 """
 
 import sys
@@ -26,7 +32,8 @@ import time
 import numpy as np
 
 
-def run_pair(n_steps, arm_overrides, monitor_interval=None):
+def run_pair(n_steps, arm_overrides, monitor_interval=None,
+             model_arm_overrides=None):
     sys.path.insert(0, ".")
     import bench
 
@@ -39,8 +46,9 @@ def run_pair(n_steps, arm_overrides, monitor_interval=None):
         ov = dict(ov, lr_init=1e-3)
         if monitor_interval is not None:
             ov["N_monitor_interval"] = monitor_interval
-        tr, dl, dlu = bench.build_trainer(grid=128, loaders=loaders,
-                                          trainer_overrides=ov)
+        tr, dl, dlu = bench.build_trainer(
+            grid=128, loaders=loaders, trainer_overrides=ov,
+            model_overrides=(model_arm_overrides or {}).get(mode))
         loaders = (dl, dlu)
         tr.run(n_steps, verbose=False)
         tr.finalize()
@@ -63,6 +71,14 @@ def main():
                 "int4": {"N_PE_interval": 4}}
         rows, series = run_pair(n_steps, arms, monitor_interval=250)
         a, b = "int1", "int4"
+    elif "--unsup" in sys.argv:
+        arms = {"unsup_f32": {}, "unsup_bf16": {}}
+        rows, series = run_pair(
+            n_steps, arms, monitor_interval=250,
+            model_arm_overrides={
+                "unsup_f32": None,
+                "unsup_bf16": {"unsup_compute_dtype": "bfloat16"}})
+        a, b = "unsup_f32", "unsup_bf16"
     else:
         # explicit override both ways: the default is 'auto', which itself
         # resolves to bf16 at 128^2 -- the f32 arm must force None

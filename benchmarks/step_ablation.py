@@ -54,6 +54,8 @@ def build(variant: str, loaders, grid=64):
         params.margs = {"fuse_decodes": True}
     if variant == "remat":
         params.margs = {"remat_codec": True}
+    if variant == "unsup_bf16":
+        params.margs = {"unsup_compute_dtype": "bfloat16"}
     if variant.startswith("pe_int"):
         params.trainer["N_PE_interval"] = int(variant[len("pe_int"):])
 
@@ -82,7 +84,8 @@ def main():
     ab_flags = {"--ab-pe": ("pe_f32", "pe_bf16"),
                 "--ab-fuse": ("full", "fuse"),
                 "--ab-interval": ("full", "pe_int2", "pe_int4", "pe_int8"),
-                "--ab-remat": ("full", "remat")}
+                "--ab-remat": ("full", "remat"),
+                "--ab-unsup": ("full", "unsup_bf16")}
     hit = [f for f in ab_flags if f in sys.argv]
     if hit:
         # interleaved same-process A/B (cross-run variance on the tunneled

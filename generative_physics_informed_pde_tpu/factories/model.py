@@ -60,6 +60,9 @@ class ModelFactory:
             # rematerialize codec activations in the backward pass
             # (see GenerativeModel.remat_codec)
             "remat_codec": False,
+            # reduced-precision conv compute for the UNSUPERVISED ELBO
+            # term only (see GenerativeModel.unsup_compute_dtype)
+            "unsup_compute_dtype": None,
         }
         self._identifier = None
         self._custom_params_set_flag = False
@@ -132,6 +135,9 @@ class ModelFactory:
             binary_field=self.params["binary_field"],
             fuse_decodes=self.params["fuse_decodes"],
             remat_codec=self.params["remat_codec"],
+            unsup_compute_dtype=(
+                None if self.params["unsup_compute_dtype"] is None
+                else fetch_dtype(self.params["unsup_compute_dtype"])),
             dtype=self.dtype)
         discriminative = DiscriminativeModel(model)
         return physics, model, discriminative, encoder, self.dtype

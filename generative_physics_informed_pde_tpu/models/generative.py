@@ -82,6 +82,17 @@ class GenerativeModel:
     # (PARITY.md 128^2 roofline), so trading recompute for activation
     # traffic is the textbook lever; measured A/B in PARITY.md round 4.
     remat_codec: bool = False
+    # Reduced-precision conv compute for the UNSUPERVISED term only (e.g.
+    # jnp.bfloat16).  After the round-4 PE optimizations the unlabeled
+    # reconstruction is the largest 128^2 step term (~45%, PARITY.md) and
+    # is pure codec fwd+bwd -- no ROM solve.  Unlike PE_compute_dtype this
+    # DOES perturb training: the unsup gradients and the SHARED BatchNorm
+    # batch stats ('f'/'encoder') see bf16 activations, so it ships
+    # opt-in, gated on the measured quality A/B (PARITY.md).  The
+    # supervised and VO terms always run at full precision.  Ignored on
+    # the fused decode path (fuse_decodes pre-decodes all terms at full
+    # precision).
+    unsup_compute_dtype: Any = None
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------- shapes
@@ -164,20 +175,40 @@ class GenerativeModel:
             return out, mut["batch_stats"]
         return f.apply(variables, z, train=False), batch_stats.get("f", {})
 
-    def apply_encoder(self, params, batch_stats, x, *, train: bool, key=None):
+    def apply_encoder(self, params, batch_stats, x, *, train: bool, key=None,
+                      module: Optional[nn.Module] = None):
+        """``module`` overrides the encoder module (same parameter pytree);
+        used by the unsup_compute_dtype path (a reduced-precision clone)."""
+        enc = self.encoder if module is None else module
         variables = {"params": params["encoder"],
                      "batch_stats": batch_stats.get("encoder", {})}
         rngs = {"dropout": key} if key is not None else None
         if train:
             def _fwd(variables, x, rngs):
-                return self.encoder.apply(variables, x, train=True,
-                                          mutable=["batch_stats"], rngs=rngs)
+                return enc.apply(variables, x, train=True,
+                                 mutable=["batch_stats"], rngs=rngs)
             if self.remat_codec:
                 _fwd = jax.checkpoint(_fwd)
             out, mut = _fwd(variables, x, rngs)
             return out, mut["batch_stats"]
-        return (self.encoder.apply(variables, x, train=False),
+        return (enc.apply(variables, x, train=False),
                 batch_stats.get("encoder", {}))
+
+    def _unsup_modules(self, train: bool):
+        """(decoder, encoder) module overrides for the unsupervised term:
+        reduced-precision clones when ``unsup_compute_dtype`` is set (and
+        the codec variant supports it), else (None, None) = the originals.
+        Trace-time only -- clone() is a cheap dataclass copy over the SAME
+        parameter pytree."""
+        if self.unsup_compute_dtype is None or not train:
+            return None, None
+        dt = self.unsup_compute_dtype
+        dec = (self.f.clone(compute_dtype=dt)
+               if hasattr(self.f, "compute_dtype") else None)
+        enc = (self.encoder.clone(compute_dtype=dt)
+               if self.encoder is not None
+               and hasattr(self.encoder, "compute_dtype") else None)
+        return dec, enc
 
     def apply_gp(self, params, z):
         return self.gp.apply({"params": params["gp"]}, z)
@@ -285,13 +316,15 @@ class GenerativeModel:
         if self.disable_elbo_unsupervised:
             return 0.0, batch_stats, {}
         k1, kd1, kd2 = jax.random.split(key, 3)
+        dec_mod, enc_mod = self._unsup_modules(train)
         (mean, logsigma), bs_e = _enc if _enc is not None else \
             self.apply_encoder(params, batch_stats, X_batch, train=train,
-                               key=kd1)
+                               key=kd1, module=enc_mod)
         if decoded is None:
             Z = reparametrize(k1, mean, logsigma)
             predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
-                                                 train=train, key=kd2)
+                                                 train=train, key=kd2,
+                                                 module=dec_mod)
         else:
             # the fused path already sampled Z (same k1 split) and decoded
             predict_x, bs_f = decoded
@@ -318,8 +351,10 @@ class GenerativeModel:
         k1, kd = jax.random.split(key)
         qz = params["q_z"]["unsupervised"]
         Z = va.sample(qz, k1)
+        dec_mod, _ = self._unsup_modules(train)
         predict_x, bs_f = self.apply_decoder(params, batch_stats, Z,
-                                             train=train, key=kd)
+                                             train=train, key=kd,
+                                             module=dec_mod)
         logL_x = self.random_field_likelihood(predict_x, X)
         DKL = va.kld(qz)
         if normalize:

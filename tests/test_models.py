@@ -390,6 +390,79 @@ def test_remat_codec_matches_plain(physics):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unsup_compute_dtype_scoped_to_unsup_term(physics):
+    """unsup_compute_dtype=bf16 runs ONLY the unsupervised term's codec in
+    reduced precision: the supervised term must stay BIT-identical to the
+    plain model, the unsup term must move (bf16 rounding) but stay close,
+    and all gradients must be finite."""
+    import dataclasses as _dc
+    g = ReducedOrderModelOperator.from_physics(physics)
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4)
+    enc = CNNEncoder(imsize=32, latent_dim=8, blocks=(1, 1), growth_rate=4,
+                     init_features=4)
+    gp = EffectivePropertyMap(latent_dim=8,
+                              dim_effective_property=g.dim_effective_property)
+    model = GenerativeModel(f=dec, g=g, gp=gp, encoder=enc,
+                            dtype=jnp.float32)
+    mixed = _dc.replace(model, unsup_compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(2)
+    Ns, Nu = 3, 4
+    dim_y, n_rom = physics["fom"].dim_out, physics["rom"].grid.n_nodes
+    data = {
+        "supervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Ns, 32, 32)), jnp.float32),
+            "Y": jnp.asarray(rng.normal(size=(Ns, dim_y)), jnp.float32),
+            "F_ROM_BC": jnp.zeros((Ns, n_rom), jnp.float32)},
+        "unsupervised": {
+            "X": jnp.asarray(rng.normal(0.4, 0.8, (Nu, 32, 32)), jnp.float32)},
+    }
+    params, bs = model.init_params(jax.random.PRNGKey(0), data, (32, 32))
+    key = jax.random.PRNGKey(7)
+    Xu = data["unsupervised"]["X"]
+
+    # supervised term: bit-identical (the scope must not leak)
+    e_sup_plain, _, _ = model.elbo_supervised(params, bs, data["supervised"],
+                                              key, train=True)
+    e_sup_mixed, _, _ = mixed.elbo_supervised(params, bs, data["supervised"],
+                                              key, train=True)
+    np.testing.assert_array_equal(np.asarray(e_sup_plain),
+                                  np.asarray(e_sup_mixed))
+
+    # unsupervised term: same math to bf16 precision, NOT bit-identical
+    e_u_plain, _, _ = model.elbo_unsupervised_amortized(params, bs, Xu, key,
+                                                        train=True)
+    e_u_mixed, _, _ = mixed.elbo_unsupervised_amortized(params, bs, Xu, key,
+                                                        train=True)
+    assert float(e_u_plain) != float(e_u_mixed)
+    # loose sanity bound: at fresh init the exp-field likelihood amplifies
+    # bf16 rounding (observed ~7% relative); converged-quality evidence is
+    # the TPU A/B in PARITY.md, not this unit test
+    np.testing.assert_allclose(float(e_u_mixed), float(e_u_plain), rtol=0.2)
+
+    # eval mode ignores the reduced-precision clone entirely
+    e_u_eval_p, _, _ = model.elbo_unsupervised_amortized(params, bs, Xu, key,
+                                                         train=False)
+    e_u_eval_m, _, _ = mixed.elbo_unsupervised_amortized(params, bs, Xu, key,
+                                                         train=False)
+    np.testing.assert_array_equal(np.asarray(e_u_eval_p),
+                                  np.asarray(e_u_eval_m))
+
+    def loss(p):
+        e, _, _ = mixed.elbo(p, bs, data, key, train=True)
+        return -e
+
+    val, grads = jax.jit(jax.value_and_grad(loss))(params)
+    assert bool(jnp.isfinite(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g_))) for g_ in flat)
+    # params remain f32 masters
+    assert all(g_.dtype == jnp.float32 for g_ in
+               jax.tree_util.tree_leaves(grads["f"]))
+
+
 def test_codec_bfloat16_compute_dtype():
     """compute_dtype='bfloat16': params and outputs stay f32, values track
     the f32 path to bf16 precision (mixed-precision MXU path)."""
