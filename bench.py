@@ -16,23 +16,20 @@ Extra detail goes to stderr.
 from __future__ import annotations
 
 import json
-import os
-import socket
 import sys
 import time
 
 import numpy as np
 
-# Persistent XLA compilation cache, keyed by hostname so a cache written
-# on one machine is never loaded on another (the cross-host CPU
-# machine-feature mismatch is why the package keeps this opt-in).  The
-# tunneled TPU compile service has been observed to take 2+ minutes per
-# executable on a bad day; the cache makes repeat bench runs' setup
-# near-instant and costs nothing when compiles are fast.
-os.environ.setdefault(
-    "GPIPDE_COMPILE_CACHE",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
-                 socket.gethostname()))
+# Persistent XLA compilation cache, keyed by a machine fingerprint so a
+# cache written on one machine is never loaded on another (the
+# cross-host CPU machine-feature mismatch is why the package keeps this
+# opt-in).  The tunneled TPU compile service has been observed to take
+# 2+ minutes per executable on a bad day; the cache makes repeat bench
+# runs' setup near-instant and costs nothing when compiles are fast.
+import _cache_util
+
+_cache_util.set_default_compile_cache()
 
 
 def log(*a):

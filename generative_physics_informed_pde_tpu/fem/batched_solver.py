@@ -224,6 +224,22 @@ def make_batched_fom_solver(op: StencilOperator, profile, *, tol=None,
         return jnp.moveaxis(grids, -1, 0).reshape(-1, Ny * Nx)
 
     sym = bool(sym and not use_pallas)
+    if sym:
+        # Measured-dangerous configuration: the symmetric 4-grid apply
+        # faulted the v5e TPU worker at 256^2 B=64 (PARITY round 4,
+        # benchmarks/mg_bench.py --sym), on top of being a wash (MG) or
+        # 1.7x slower (Jacobi) where it does run.  Refuse it outright at
+        # the faulting sizes rather than letting a settable flag kill
+        # the process.
+        from ..utils.backend import effective_platform
+        if (effective_platform() == "tpu"
+                and max(grid.nx, grid.ny) >= 256):
+            raise ValueError(
+                "sym=True (symmetric 4-grid stencil apply) is disabled "
+                f"on TPU for grids >= 256 (got {grid.nx}x{grid.ny}): it "
+                "crashed the TPU worker at 256^2 B=64 (PARITY round 4, "
+                "benchmarks/mg_bench.py --sym) and offers no measured "
+                "speedup.  Use the default 7-grid apply.")
     _apply = _apply_stencil_sym_blast if sym else _apply_stencil_blast
 
     def _coefs_blast(alphas):

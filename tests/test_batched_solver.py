@@ -85,3 +85,24 @@ def test_precond_string_validation():
     phys = fem.LinearEllipticPhysics("fom", "NDP", fem.StructuredTriGrid(8, 8))
     with pytest.raises(ValueError, match="precond"):
         make_batched_fom_solver(phys.op, phys.profile, precond="MG")
+
+
+def test_sym_apply_hard_guard_on_tpu_at_256(monkeypatch):
+    """sym=True faulted the v5e worker at 256^2 B=64 (PARITY round 4);
+    the builder must refuse it at >=256 on TPU instead of letting a
+    settable flag kill the process."""
+    import pytest
+    from generative_physics_informed_pde_tpu.fem import batched_solver
+    from generative_physics_informed_pde_tpu.utils import backend
+
+    monkeypatch.setattr(backend, "effective_platform", lambda: "tpu")
+    phys = fem.LinearEllipticPhysics("fom", "NDP",
+                                     fem.StructuredTriGrid(256, 256))
+    with pytest.raises(ValueError, match="crashed the TPU worker"):
+        batched_solver.make_batched_fom_solver(
+            phys.op, phys.profile, sym=True)
+    # below the faulting boundary the flag stays available for A/B runs
+    phys64 = fem.LinearEllipticPhysics("fom", "NDP",
+                                       fem.StructuredTriGrid(64, 64))
+    batched_solver.make_batched_fom_solver(phys64.op, phys64.profile,
+                                           sym=True)
