@@ -66,17 +66,23 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_steps = int(args[0]) if args else 1500
 
-    if "--interval" in sys.argv:
+    iv_flags = [a for a in sys.argv if a.startswith("--interval")]
+    if iv_flags:
+        # optional cadence: `--interval=8` compares 1 vs 8 (default 4,
+        # the round-4 validation)
+        iv = int(iv_flags[0].split("=")[1]) if "=" in iv_flags[0] else 4
         arms = {"int1": {"N_PE_interval": 1},
-                "int4": {"N_PE_interval": 4}}
+                f"int{iv}": {"N_PE_interval": iv}}
         rows, series = run_pair(n_steps, arms, monitor_interval=250)
-        a, b = "int1", "int4"
+        a, b = "int1", f"int{iv}"
     elif "--unsup" in sys.argv:
         arms = {"unsup_f32": {}, "unsup_bf16": {}}
         rows, series = run_pair(
             n_steps, arms, monitor_interval=250,
             model_arm_overrides={
-                "unsup_f32": None,
+                # explicit both ways: the 'auto' default resolves to
+                # bf16 at 128^2, so the f32 arm must force None
+                "unsup_f32": {"unsup_compute_dtype": None},
                 "unsup_bf16": {"unsup_compute_dtype": "bfloat16"}})
         a, b = "unsup_f32", "unsup_bf16"
     else:

@@ -56,6 +56,21 @@ def build(variant: str, loaders, grid=64):
         params.margs = {"remat_codec": True}
     if variant == "unsup_bf16":
         params.margs = {"unsup_compute_dtype": "bfloat16"}
+    if variant == "unsup_f32":
+        # explicit: the 'auto' default itself resolves to bf16 at >=128^2
+        params.margs = {"unsup_compute_dtype": None}
+    if variant.startswith("pad"):
+        # math-preserving channel padding (codec.pad_channels)
+        params.margs = {"codec_pad_cin": int(variant[len("pad"):])}
+    if variant.startswith("wide"):
+        # wider-growth/shallower decoder (PARITY decode-architecture
+        # study); NOT parity -- a different architecture.  wide12 =
+        # g12/if12/(1,1,1,1) is the equal-parameter arm (1.05x the
+        # baseline's 21.4k decoder params); wide16 = 1.54x params
+        gr = int(variant[len("wide"):])
+        params.margs = {"dec_growth_rate": gr,
+                        "dec_init_features": gr,
+                        "dec_blocks": (1, 1, 1, 1)}
     if variant.startswith("pe_int"):
         params.trainer["N_PE_interval"] = int(variant[len("pe_int"):])
 
@@ -85,7 +100,9 @@ def main():
                 "--ab-fuse": ("full", "fuse"),
                 "--ab-interval": ("full", "pe_int2", "pe_int4", "pe_int8"),
                 "--ab-remat": ("full", "remat"),
-                "--ab-unsup": ("full", "unsup_bf16")}
+                "--ab-unsup": ("unsup_f32", "unsup_bf16"),
+                "--ab-pad": ("full", "pad8", "pad32", "pad128"),
+                "--ab-wide": ("full", "wide12", "wide16")}
     hit = [f for f in ab_flags if f in sys.argv]
     if hit:
         # interleaved same-process A/B (cross-run variance on the tunneled

@@ -108,9 +108,19 @@ class DataLoader:
 
     def assemble(self, physics, BCE: Optional[BoundaryConditionEnsemble] = None,
                  rng: Optional[np.random.Generator] = None,
-                 label_batch: int = 256):
+                 label_batch: int = 256, rows=None):
         """Assemble X_DG, labels Y (batched on-device FOM solves) and
-        F_ROM_BC (reference: utils/data.py:72-103)."""
+        F_ROM_BC (reference: utils/data.py:72-103).
+
+        ``rows``: optional row indices (or slice) to solve labels for --
+        the multi-host process-local loading path: each host solves ONLY
+        the labels its mesh shard consumes (its slice of each training
+        chunk, ``parallel.local_shard_slice``, mapped through the
+        dataset permutation, plus any replicated chunks such as
+        validation).  Unsolved rows are left NaN so an ownership mistake
+        surfaces as a loud non-finite loss, never a silent wrong label.
+        X_DG / F_ROM_BC are cheap index ops and stay full-size.
+        """
         if self._lock_physics_assembly:
             raise RuntimeError("physics assembly locked for this loader")
 
@@ -135,14 +145,21 @@ class DataLoader:
         self._X_DG = self._X.reshape(self.N, -1)[:, cell_to_pixel]
 
         vals = self._BCE.constrained_values("fom")
-        Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
+        if rows is None:
+            row_idx = np.arange(self.N)
+            Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
+        else:
+            row_idx = np.arange(self.N)[rows] if isinstance(rows, slice) \
+                else np.asarray(rows, dtype=np.int64)
+            Y = np.full((self.N, fom.dim_out), np.nan, dtype=np.float64)
+        n_rows = row_idx.size
         solve = fom.solve_batched
         # cap per-dispatch batch by grid size to bound device peak memory
         # (a 96x 256^2 MG solve has crashed a TPU worker)
         label_batch = max(8, min(label_batch, 2 ** 22 // fom.grid.n_cells))
-        n_batches = -(-self.N // label_batch)
+        n_batches = -(-n_rows // label_batch)
         for k in range(n_batches):
-            sl = slice(k * label_batch, min((k + 1) * label_batch, self.N))
+            sl = row_idx[k * label_batch: (k + 1) * label_batch]
             # pad the tail so every dispatch reuses one compiled shape
             a = np.exp(self._X_DG[sl])
             v = vals[sl]
@@ -160,7 +177,7 @@ class DataLoader:
                     if attempt == 2:
                         raise
                     time.sleep(30.0 * (attempt + 1))
-            Y[sl] = out[: sl.stop - sl.start]
+            Y[sl] = out[: sl.size]
         self._Y = Y
         self._F_ROM_BC = self._BCE.full_f_with_applied_bc("rom")
         # re-assembly replaces the label arrays: invalidate dependent

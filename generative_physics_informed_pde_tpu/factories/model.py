@@ -61,8 +61,22 @@ class ModelFactory:
             # (see GenerativeModel.remat_codec)
             "remat_codec": False,
             # reduced-precision conv compute for the UNSUPERVISED ELBO
-            # term only (see GenerativeModel.unsup_compute_dtype)
-            "unsup_compute_dtype": None,
+            # term only (see GenerativeModel.unsup_compute_dtype).
+            # 'auto' (default) resolves to bf16 when the decode grid is
+            # >= 128^2 -- measured 1.09x full step at 128^2, -3% at 64^2
+            # (PARITY round 5); quality: 1500-step monitor series +
+            # endpoint metrics match f32 to ~1e-7, and the 2he
+            # converged-endpoint run confirms no regression.
+            "unsup_compute_dtype": "auto",
+            # pad codec conv input channels to this multiple
+            # (math-preserving; see models.codec.pad_channels) -- the
+            # decode-architecture A/B lever, 0 disables
+            "codec_pad_cin": 0,
+            # decoder-architecture overrides for equal-parameter
+            # wider-growth experiments (None = preset default)
+            "dec_growth_rate": None,
+            "dec_init_features": None,
+            "dec_blocks": None,
         }
         self._identifier = None
         self._custom_params_set_flag = False
@@ -129,15 +143,20 @@ class ModelFactory:
             dim_effective_property=g.dim_effective_property,
             num_hidden_layers=self._gp("eff_property_map_hidden_layers"),
             independent_X=self.params["independent_X"])
+        ucd = self.params["unsup_compute_dtype"]
+        if ucd == "auto":
+            # same measured boundary as PE_compute_dtype='auto'
+            # (trainer.resolve_pe_compute_dtype): >= 128^2 decodes are
+            # HBM-bound and bf16 wins; below, the step is op-count-bound
+            # and the casts only cost
+            ucd = "bfloat16" if decoder.target_img_size >= 128 else None
         model = GenerativeModel(
             f=decoder, g=g, gp=gp, encoder=encoder,
             independent_X=self.params["independent_X"],
             binary_field=self.params["binary_field"],
             fuse_decodes=self.params["fuse_decodes"],
             remat_codec=self.params["remat_codec"],
-            unsup_compute_dtype=(
-                None if self.params["unsup_compute_dtype"] is None
-                else fetch_dtype(self.params["unsup_compute_dtype"])),
+            unsup_compute_dtype=None if ucd is None else fetch_dtype(ucd),
             dtype=self.dtype)
         discriminative = DiscriminativeModel(model)
         return physics, model, discriminative, encoder, self.dtype
@@ -236,18 +255,26 @@ class highres128(ModelFactory):
         # decoder up-sampling count adapts to the target resolution
         # (128 -> 4 blocks, 256 -> 5, ...)
         n_up = int(math.log2(target // 8))
-        dec_blocks = tuple(([1, 2, 1, 1, 1, 1])[:n_up])
+        dec_blocks = self.params["dec_blocks"] \
+            or tuple(([1, 2, 1, 1, 1, 1])[:n_up])
+        if len(dec_blocks) != n_up:
+            raise ValueError(f"dec_blocks {dec_blocks} must have {n_up} "
+                             f"entries for target {target}")
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
-            latent_img_size=8, latent_img_features=2, init_features=16,
-            blocks=dec_blocks, growth_rate=8,
+            latent_img_size=8, latent_img_features=2,
+            init_features=self.params["dec_init_features"] or 16,
+            blocks=tuple(dec_blocks),
+            growth_rate=self.params["dec_growth_rate"] or 8,
             drop_rate=self.params["droprate"], upsample="nearest",
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         enc_blocks = tuple([1, 2, 1, 1, 1][: max(2, n_up - 1)])
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"),
             blocks=enc_blocks, growth_rate=8, init_features=16,
             drop_rate=self.params["droprate"],
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None

@@ -100,12 +100,17 @@ class Analysis:
 
     # ----------------------------------------------------------- sampling
     def sample_predictive_y(self, params, q, key, n_monte_carlo: int,
-                            index=None):
+                            index=None, F=None):
         """MC samples of y: z ~ q -> gp.propagate -> g.propagate (reference:
         components.py:471-478).  index=None -> all datapoints at once,
-        returning (N, S, dim_y)."""
+        returning (N, S, dim_y).  ``F`` defaults to the instance data;
+        the jitted eval paths pass it explicitly -- closing over a
+        process-spanning (multi-host dp-sharded) array inside jit is an
+        error, and even single-host it would bloat the HLO payload (the
+        no-constants rule, see _build_train_step)."""
         k1, k2, k3 = jax.random.split(key, 3)
-        F = self.data["F_ROM_BC"]
+        if F is None:
+            F = self.data["F_ROM_BC"]
         if index is None:
             Zs = va.sample_all_components(q, k1, n_monte_carlo)  # (N, S, dz)
             N = Zs.shape[0]
@@ -148,8 +153,11 @@ class Analysis:
         N, dim_y = self.data["Y"].shape[0], self.data["Y"].shape[-1]
         chunk, n_chunks = _mc_chunk(n_monte_carlo, N * dim_y)
 
-        def metrics(y_mean, y_std):
-            Y = self.data["Y"].astype(y_mean.dtype)
+        # data (Y, F) rides as ARGUMENTS, not closure constants: sharded
+        # (possibly process-spanning) arrays cannot be closed over inside
+        # jit, and constants bloat the HLO payload at large grids
+        def metrics(y_mean, y_std, Y):
+            Y = Y.astype(y_mean.dtype)
             relerr = jax.vmap(relative_error)(y_mean, Y).mean()
             logscore = jax.vmap(predictive_logscore)(Y, y_mean, y_std).mean()
             r2 = coefficient_of_determination(y_mean, Y)
@@ -157,18 +165,19 @@ class Analysis:
                     "y_mean": y_mean, "y_std": y_std}
 
         if n_chunks == 1:
-            def fn(params, q, key):
-                Ys = self.sample_predictive_y(params, q, key, n_monte_carlo)
-                return metrics(Ys.mean(axis=1), Ys.std(axis=1, ddof=1))
+            def fn(params, q, key, Y, F):
+                Ys = self.sample_predictive_y(params, q, key, n_monte_carlo,
+                                              F=F)
+                return metrics(Ys.mean(axis=1), Ys.std(axis=1, ddof=1), Y)
             return fn
 
         S_eff = chunk * n_chunks  # MC count rounded UP to fill chunks
 
-        def fn(params, q, key):
+        def fn(params, q, key, Y, F):
             keys = jax.random.split(key, n_chunks)
 
             def body(k):
-                Ys = self.sample_predictive_y(params, q, k, chunk)
+                Ys = self.sample_predictive_y(params, q, k, chunk, F=F)
                 return Ys.sum(axis=1), jnp.square(Ys).sum(axis=1)
 
             s1, s2 = jax.lax.map(body, keys)      # (n_chunks, N, dim_y)
@@ -177,7 +186,7 @@ class Analysis:
             # streamed E[y^2] - E[y]^2; clamp the f32 cancellation noise
             var = jnp.maximum(
                 (s2 - S_eff * jnp.square(y_mean)) / (S_eff - 1), 1e-12)
-            return metrics(y_mean, jnp.sqrt(var))
+            return metrics(y_mean, jnp.sqrt(var), Y)
 
         return fn
 
@@ -189,7 +198,8 @@ class Analysis:
         if n_monte_carlo not in self._jitted:
             self._jitted[n_monte_carlo] = jax.jit(
                 self.eval_all_y_fn(n_monte_carlo))
-        out = self._jitted[n_monte_carlo](params, q, key)
+        out = self._jitted[n_monte_carlo](params, q, key, self.data["Y"],
+                                          self.data["F_ROM_BC"])
         if iteration is None:
             if return_mean_std:
                 raise RuntimeError("nope")  # reference parity
@@ -201,10 +211,17 @@ class Analysis:
         if return_mean_std:
             return out["y_mean"], out["y_std"]
 
-    def eval_all_x_fn(self, n_monte_carlo: int, batch_stats):
+    def eval_all_x_fn(self, n_monte_carlo: int, batch_stats=None):
         """x-space metrics: relerr_x + predictive logscore on the field
         reconstruction (reference: components.py:568-590, 636-653), fully
-        vmapped over the dataset."""
+        vmapped over the dataset.
+
+        ``batch_stats`` is an ARGUMENT of the built function (like X):
+        closing over it would both bake the first call's BatchNorm
+        statistics into the cached jit (stale on every later call) and
+        break under multi-host sharded state.  The parameter is kept for
+        backward compatibility and ignored."""
+        del batch_stats
 
         N = self.data["X"].shape[0]
         dim_x = int(np_prod(self.data["X"].shape[1:]))
@@ -213,7 +230,7 @@ class Analysis:
         chunk, n_chunks = _mc_chunk(n_monte_carlo, N * dim_x,
                                     budget=_EVAL_ELEMENT_BUDGET // 8)
 
-        def decode_chunk(params, q, k, S):
+        def decode_chunk(params, batch_stats, q, k, S):
             k1, k2 = jax.random.split(k)
             Zs = va.sample_all_components(q, k1, S)  # (N, S, dz)
             (mean, logsigma), _ = self.model.apply_decoder(
@@ -221,25 +238,25 @@ class Analysis:
             eps = jax.random.normal(k2, mean.shape, dtype=mean.dtype)
             return (mean + jnp.exp(logsigma) * eps).reshape((N, S, -1))
 
-        def metrics(x_mean, x_std):
-            X = self.data["X"].reshape(N, -1).astype(x_mean.dtype)
+        def metrics(x_mean, x_std, X):
+            X = X.reshape(N, -1).astype(x_mean.dtype)
             relerr = jax.vmap(relative_error)(x_mean, X).mean()
             logscore = jax.vmap(predictive_logscore)(X, x_mean, x_std).mean()
             return {"relerr_x": relerr, "logscore_x": logscore}
 
         if n_chunks == 1:
-            def fn(params, q, key):
-                Xs = decode_chunk(params, q, key, n_monte_carlo)
-                return metrics(Xs.mean(axis=1), Xs.std(axis=1, ddof=1))
+            def fn(params, batch_stats, q, key, X):
+                Xs = decode_chunk(params, batch_stats, q, key, n_monte_carlo)
+                return metrics(Xs.mean(axis=1), Xs.std(axis=1, ddof=1), X)
             return fn
 
         S_eff = chunk * n_chunks
 
-        def fn(params, q, key):
+        def fn(params, batch_stats, q, key, X):
             keys = jax.random.split(key, n_chunks)
 
             def body(k):
-                Xs = decode_chunk(params, q, k, chunk)
+                Xs = decode_chunk(params, batch_stats, q, k, chunk)
                 return Xs.sum(axis=1), jnp.square(Xs).sum(axis=1)
 
             s1, s2 = jax.lax.map(body, keys)
@@ -247,7 +264,7 @@ class Analysis:
             x_mean = s1 / S_eff
             var = jnp.maximum(
                 (s2 - S_eff * jnp.square(x_mean)) / (S_eff - 1), 1e-12)
-            return metrics(x_mean, jnp.sqrt(var))
+            return metrics(x_mean, jnp.sqrt(var), X)
 
         return fn
 
@@ -259,9 +276,9 @@ class Analysis:
         key_x = jax.random.fold_in(key, 1)
         cache_key = ("x", n_monte_carlo)
         if cache_key not in self._jitted:
-            self._jitted[cache_key] = jax.jit(
-                self.eval_all_x_fn(n_monte_carlo, batch_stats))
-        out = self._jitted[cache_key](params, q, key_x)
+            self._jitted[cache_key] = jax.jit(self.eval_all_x_fn(n_monte_carlo))
+        out = self._jitted[cache_key](params, batch_stats, q, key_x,
+                                      self.data["X"])
         if iteration is not None:
             self.series["relerr_x"].append(iteration, out["relerr_x"])
             self.series["logscore_x"].append(iteration, out["logscore_x"])

@@ -57,6 +57,30 @@ def upsample_bilinear_2x(x: jnp.ndarray) -> jnp.ndarray:
 _UPSAMPLE = {"nearest": upsample_nearest_2x, "bilinear": upsample_bilinear_2x}
 
 
+def pad_channels(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    """Zero-pad the channel (minor) dim up to a multiple of ``multiple``.
+
+    EXACTLY math-preserving when feeding a conv: the padded input
+    channels are zero, so whatever weights the (enlarged) kernel holds
+    for them contribute nothing to the output, and those weight rows
+    receive identically-zero gradients -- the trained function is
+    unchanged (tested: test_codec_pad_cin_math_preserving).
+
+    Motivation: the DenseNet runs 2-28-channel convs at 128^2 -- far
+    below the TPU's 128-lane tile, so the minor dim wastes most of each
+    physical vector transaction.  Padding trades (cheap, MXU) FLOPs for
+    regular tiling.  Whether that wins is an empirical question per
+    grid; see the PARITY decode-architecture study.
+    """
+    if multiple <= 0:
+        return x
+    rem = x.shape[-1] % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, multiple - rem)]
+    return jnp.pad(x, pad)
+
+
 class NormReluConv(nn.Module):
     """BatchNorm -> ReLU -> Conv, the repeated motif of the codec."""
 
@@ -64,6 +88,7 @@ class NormReluConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     drop_rate: float = 0.0
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -72,6 +97,7 @@ class NormReluConv(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
@@ -90,6 +116,7 @@ class DenseLayer(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -97,11 +124,14 @@ class DenseLayer(nn.Module):
         in_features = x.shape[-1]
         if self.bottleneck and in_features > self.bn_size * self.growth_rate:
             y = NormReluConv(self.bn_size * self.growth_rate, kernel=1,
-                             dtype=self.dtype)(x, train=train)
-            y = NormReluConv(self.growth_rate, kernel=3, dtype=self.dtype)(
+                             pad_cin=self.pad_cin, dtype=self.dtype)(
+                x, train=train)
+            y = NormReluConv(self.growth_rate, kernel=3,
+                             pad_cin=self.pad_cin, dtype=self.dtype)(
                 y, train=train)
         else:
-            y = NormReluConv(self.growth_rate, kernel=3, dtype=self.dtype)(
+            y = NormReluConv(self.growth_rate, kernel=3,
+                             pad_cin=self.pad_cin, dtype=self.dtype)(
                 x, train=train)
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2),
@@ -117,13 +147,15 @@ class DenseBlock(nn.Module):
     drop_rate: float = 0.0
     bn_size: int = 8
     bottleneck: bool = False
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for _ in range(self.num_layers):
             x = DenseLayer(self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, dtype=self.dtype)(x, train=train)
+                           self.bottleneck, pad_cin=self.pad_cin,
+                           dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -137,21 +169,22 @@ class TransitionDown(nn.Module):
     out_features: int
     drop_rate: float = 0.0
     bottleneck: bool = True
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         if self.bottleneck:
             x = NormReluConv(self.out_features, kernel=1,
-                             drop_rate=self.drop_rate, dtype=self.dtype)(
-                x, train=train)
+                             drop_rate=self.drop_rate, pad_cin=self.pad_cin,
+                             dtype=self.dtype)(x, train=train)
             x = NormReluConv(self.out_features, kernel=3, stride=2,
-                             drop_rate=self.drop_rate, dtype=self.dtype)(
-                x, train=train)
+                             drop_rate=self.drop_rate, pad_cin=self.pad_cin,
+                             dtype=self.dtype)(x, train=train)
         else:
             x = NormReluConv(self.out_features, kernel=3, stride=2,
-                             drop_rate=self.drop_rate, dtype=self.dtype)(
-                x, train=train)
+                             drop_rate=self.drop_rate, pad_cin=self.pad_cin,
+                             dtype=self.dtype)(x, train=train)
         return x
 
 
@@ -162,17 +195,19 @@ class TransitionUp(nn.Module):
     out_features: int
     drop_rate: float = 0.0
     upsample: str = "nearest"
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = NormReluConv(self.out_features, kernel=1,
-                         drop_rate=self.drop_rate, dtype=self.dtype)(
-            x, train=train)
+                         drop_rate=self.drop_rate, pad_cin=self.pad_cin,
+                         dtype=self.dtype)(x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = _UPSAMPLE[self.upsample](x)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.out_features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
         if self.drop_rate > 0:
@@ -190,22 +225,26 @@ class LastDecoding(nn.Module):
     drop_rate: float = 0.0
     upsample: str = "nearest"
     bias: bool = False
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         f = x.shape[-1]
         x = NormReluConv(f // 2, kernel=3, drop_rate=self.drop_rate,
-                         dtype=self.dtype)(x, train=train)
+                         pad_cin=self.pad_cin, dtype=self.dtype)(
+            x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = _UPSAMPLE[self.upsample](x)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(f // 4, (3, 3), padding="SAME", use_bias=self.bias,
                     dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.out_channels, (5, 5), padding="SAME",
                     use_bias=self.bias, dtype=self.dtype)(x)
         return x
@@ -225,6 +264,7 @@ class DenseED(nn.Module):
     bottleneck: bool = False
     upsample: str = "nearest"
     out_activation: Optional[str] = None
+    pad_cin: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -242,26 +282,31 @@ class DenseED(nn.Module):
         in_dtype = x.dtype
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
                     padding="SAME", use_bias=False, dtype=self.dtype)(x)
         nf = self.init_features
         for nl in enc:
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, dtype=self.dtype)(x, train=train)
+                           self.bottleneck, pad_cin=self.pad_cin,
+                           dtype=self.dtype)(x, train=train)
             nf += nl * self.growth_rate
-            x = TransitionDown(nf // 2, self.drop_rate, dtype=self.dtype)(
-                x, train=train)
+            x = TransitionDown(nf // 2, self.drop_rate, pad_cin=self.pad_cin,
+                               dtype=self.dtype)(x, train=train)
             nf //= 2
         for i, nl in enumerate(dec):
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, self.bn_size,
-                           self.bottleneck, dtype=self.dtype)(x, train=train)
+                           self.bottleneck, pad_cin=self.pad_cin,
+                           dtype=self.dtype)(x, train=train)
             nf += nl * self.growth_rate
             if i < len(dec) - 1:
                 x = TransitionUp(nf // 2, self.drop_rate, self.upsample,
+                                 pad_cin=self.pad_cin,
                                  dtype=self.dtype)(x, train=train)
                 nf //= 2
         x = LastDecoding(self.out_channels, self.drop_rate, self.upsample,
-                         dtype=self.dtype)(x, train=train)
+                         pad_cin=self.pad_cin, dtype=self.dtype)(
+            x, train=train)
         x = x.astype(in_dtype)
         if self.out_activation is not None:
             x = _ACTIVATIONS[self.out_activation](x)

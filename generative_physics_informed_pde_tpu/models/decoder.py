@@ -15,7 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .codec import DenseBlock, TransitionUp, LastDecoding
+from .codec import (DenseBlock, TransitionUp, LastDecoding,
+                    pad_channels)
 
 
 class CNNDecoder(nn.Module):
@@ -42,6 +43,9 @@ class CNNDecoder(nn.Module):
     # conv compute dtype (None = flax default promotion); params/BN stats
     # stay f32, output cast back to the input dtype
     compute_dtype: Optional[Any] = None
+    # pad conv input channels to this multiple (math-preserving zero pad;
+    # see codec.pad_channels) -- 0 disables
+    pad_cin: int = 0
 
     def setup(self):
         out_img = self.latent_img_size * 2 ** len(self.blocks)
@@ -65,19 +69,21 @@ class CNNDecoder(nn.Module):
         x = x.reshape(b, s, s, self.latent_img_features)
         if dt is not None:
             x = x.astype(dt)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.init_features, (3, 3), padding="SAME",
                     use_bias=False, dtype=dt)(x)
         nf = self.init_features
         for i, nl in enumerate(self.blocks):
-            x = DenseBlock(nl, self.growth_rate, self.drop_rate, dtype=dt)(
-                x, train=train)
+            x = DenseBlock(nl, self.growth_rate, self.drop_rate,
+                           pad_cin=self.pad_cin, dtype=dt)(x, train=train)
             nf += nl * self.growth_rate
             if i < len(self.blocks) - 1:
                 x = TransitionUp(nf // 2, self.drop_rate, self.upsample,
-                                 dtype=dt)(x, train=train)
+                                 pad_cin=self.pad_cin, dtype=dt)(
+                    x, train=train)
                 nf //= 2
         x = LastDecoding(self.out_channels, self.drop_rate, self.upsample,
-                         dtype=dt)(x, train=train)
+                         pad_cin=self.pad_cin, dtype=dt)(x, train=train)
         x = x.astype(in_dtype)
 
         if self.binary:

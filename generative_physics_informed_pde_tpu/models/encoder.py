@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .codec import DenseBlock, TransitionDown
+from .codec import DenseBlock, TransitionDown, pad_channels
 
 
 class SplitHeads(nn.Module):
@@ -47,6 +47,9 @@ class CNNEncoder(nn.Module):
     # conv compute dtype (None = flax default promotion); params/BN stats
     # stay f32, head runs at input precision
     compute_dtype: Optional[Any] = None
+    # pad conv input channels to this multiple (math-preserving zero pad;
+    # see codec.pad_channels) -- 0 disables
+    pad_cin: int = 0
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -56,14 +59,17 @@ class CNNEncoder(nn.Module):
             x = x[..., None]  # (b, h, w) -> NHWC
         if dt is not None:
             x = x.astype(dt)
+        x = pad_channels(x, self.pad_cin)
         x = nn.Conv(self.init_features, (7, 7), strides=(2, 2),
                     padding="SAME", use_bias=False, dtype=dt)(x)
         nf = self.init_features
         for nl in self.blocks:
             x = DenseBlock(nl, self.growth_rate, self.drop_rate, bn_size=8,
+                           pad_cin=self.pad_cin,
                            bottleneck=True, dtype=dt)(x, train=train)
             nf += nl * self.growth_rate
-            x = TransitionDown(nf // 2, self.drop_rate, dtype=dt)(
+            x = TransitionDown(nf // 2, self.drop_rate,
+                               pad_cin=self.pad_cin, dtype=dt)(
                 x, train=train)
             nf //= 2
         x = x.astype(in_dtype)

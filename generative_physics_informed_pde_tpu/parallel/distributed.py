@@ -150,11 +150,12 @@ def global_array_from_local(mesh, local_data, axis: str = "dp",
     (rows ``local_shard_slice(N)``).  Pytrees map leaf-wise.
     """
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
     def put(x):
         x = np.asarray(x)
-        sh = NamedSharding(mesh, P(axis))
+        from .mesh import batch_pspec
+        sh = NamedSharding(mesh, batch_pspec(mesh, axis))
         if jax.process_count() == 1:
             return jax.device_put(x, sh)
         gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:] \
@@ -176,8 +177,60 @@ def fetch(x):
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _sweep_part_files(checkpoint_path: str):
+    import glob
+
+    return sorted(glob.glob(checkpoint_path + ".p*.json"))
+
+
+def _load_sweep_checkpoint(checkpoint_path: str) -> dict:
+    """Union of all per-process part files: {case index: saved result}.
+    Error records are dropped -- a resumed sweep RETRIES failed cases
+    (only durable successes are skipped)."""
+    import json
+
+    done = {}
+    for f in _sweep_part_files(checkpoint_path):
+        try:
+            with open(f) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):  # half-written part from a kill
+            continue
+        for k, v in rec.items():
+            if not (isinstance(v, dict) and "__error__" in v):
+                done[int(k)] = v
+    return done
+
+
+def _save_sweep_part(part_file: str, local: dict):
+    """Atomic (tmp+rename) write so a mid-save kill never corrupts a
+    previously durable part file.  Never raises -- a failed intermediate
+    save (unserializable row, full disk) must not crash one host before
+    its peers reach the allgather; the final exchange's own
+    serialization check reports the bad row uniformly."""
+    import json
+    import os
+    import warnings
+
+    def _np(v):
+        if hasattr(v, "tolist"):
+            return v.tolist()
+        raise TypeError(f"not JSON-serializable: {type(v).__name__}")
+
+    try:
+        tmp = part_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in local.items()}, fh, default=_np)
+        os.replace(tmp, part_file)
+    except Exception as e:  # noqa: BLE001 -- durability is best-effort
+        warnings.warn(f"sweep checkpoint save failed ({e!r}); continuing "
+                      "without durability for this interval", RuntimeWarning)
+
+
 def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
-                         return_exceptions: bool = False):
+                         return_exceptions: bool = False,
+                         checkpoint_path: Optional[str] = None,
+                         save_interval_s: float = 60.0):
     """Host-sharded parameter study over DCN: process p runs cases
     ``p, p+P, p+2P, ...`` (round-robin), then results are allgathered so
     every process returns the full list.
@@ -190,6 +243,17 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
     ``{"__error__": repr}`` records (the reference PoolBoy's
     error-accounting behaviour, parallel/utils.py:96-118).
 
+    ``checkpoint_path``: durability for multi-hour sweeps (the reference
+    PoolBoy's periodic intermediate saves, utils/database.py:34-58).
+    Each process persists its completed cases to
+    ``{checkpoint_path}.p{pid}.json`` (atomic tmp+rename) at most every
+    ``save_interval_s`` seconds and once at the end.  A killed sweep
+    resumes by re-running with the same path: every process loads the
+    union of ALL part files (shared filesystem) and skips cases with a
+    durable result -- regardless of how case ownership moved if the
+    process count changed.  Failed cases are retried on resume.  Results
+    must be JSON rows (already required by the allgather exchange).
+
     This is the multi-host replacement for the reference's swap-in MPI
     futures pool (reference parallel/utils.py:50-74): study cases that
     are whole training runs (not one SPMD program) split across HOSTS,
@@ -197,15 +261,33 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
     single-program sweeps over one host's devices use
     ``sweep_over_devices`` (parallel/study.py).
     """
+    import time
+
     import jax
 
     p, P_ = jax.process_index(), jax.process_count()
+    done = {}
+    part_file = None
+    if checkpoint_path is not None:
+        done = _load_sweep_checkpoint(checkpoint_path)
+        part_file = f"{checkpoint_path}.p{p}.json"
     local = {}
+    n_new, last_save = 0, time.time()
     for i in range(p, len(cases), P_):
+        if i in done:
+            local[i] = done[i]
+            continue
         try:
             local[i] = fn(cases[i])
         except Exception as e:  # noqa: BLE001 -- kept aligned across hosts
             local[i] = {"__error__": f"case {i}: {e!r}"}
+        n_new += 1
+        if part_file is not None \
+                and time.time() - last_save >= save_interval_s:
+            _save_sweep_part(part_file, local)
+            last_save = time.time()
+    if part_file is not None and n_new:
+        _save_sweep_part(part_file, local)
 
     def _finish(out):
         errors = [v["__error__"] for v in out

@@ -42,9 +42,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_pspec(mesh: Mesh, axis: str = "dp") -> P:
+    """PartitionSpec for the batch (leading) dimension.
+
+    On a plain mesh this is ``P(axis)``.  On a hybrid (DCN x ICI) mesh
+    from ``parallel.make_hybrid_mesh`` the batch axis crosses hosts
+    along the leading 'dcn' axis and local devices along ``axis``:
+    ``P(('dcn', axis))`` -- shards stay process-major and contiguous,
+    matching ``local_shard_slice``."""
+    names = mesh.axis_names
+    if "dcn" in names and axis != "dcn":
+        return P(("dcn", axis)) if axis in names else P("dcn")
+    return P(axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
-    """First-dim sharded over ``axis``."""
-    return NamedSharding(mesh, P(axis))
+    """First-dim sharded over ``axis`` (and 'dcn' first on hybrid meshes)."""
+    return NamedSharding(mesh, batch_pspec(mesh, axis))
 
 
 def mc_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -59,9 +73,31 @@ def mc_batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     """Place every array in a (nested) data dict with its batch dimension
-    sharded over ``axis``."""
+    sharded over ``axis``.
+
+    Under multi-process jax, each array is contributed PROCESS-LOCALLY:
+    only the rows this process owns (``local_shard_slice``) are read, via
+    ``jax.make_array_from_process_local_data`` -- so a DataLoader that
+    assembled labels only for its host's rows (``DataLoader.assemble(...,
+    rows=...)``) feeds the mesh without any host ever holding a valid
+    global copy.  Rows outside the local slice are never touched.
+    Arrays whose leading dim does not divide by the process count (and
+    0-d leaves) are placed replicated from the (then required) full host
+    value."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+    from .distributed import local_shard_slice
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] % n_proc:
+            return jax.device_put(x, replicated(mesh))
+        local = x[local_shard_slice(x.shape[0])]
+        return jax.make_array_from_process_local_data(sh, local, x.shape)
+
+    return jax.tree_util.tree_map(put, data)
 
 
 def _path_contains(path, names) -> bool:

@@ -96,6 +96,14 @@ DEFAULT_CONFIG = dict(
 # buckets <= 100 run 512^2 cleanly.
 _SCAN_BUCKETS = (1, 2, 3, 4, 5, 6, 10, 25, 50, 100)
 
+# Host-side monitor reductions, jitted: eager jnp ops on process-spanning
+# (multi-host dp-sharded) arrays raise "not fully addressable"; the same
+# reduction inside jit is ordinary SPMD and returns a replicated scalar
+# every process can float().
+_jit_mean = jax.jit(jnp.mean)
+_jit_mean_exp = jax.jit(lambda x: jnp.mean(jnp.exp(x)))
+_jit_avg_precision = jax.jit(lambda ls: jnp.mean(1.0 / jnp.exp(ls) ** 2))
+
 DEBUG_CONFIG = dict(
     # reference: training.py:192-203 debug shadow
     N_monitor_interval=5,
@@ -174,6 +182,12 @@ class Trainer:
         self.encoder = encoder
         self._dtype = dtype
         self.debug = debug
+        # multi-process: only process 0 owns the metrics files (peers keep
+        # the in-memory store so monitor/finalize logic stays identical);
+        # the backend is already initialized by the model setup above, so
+        # process_index() is safe to ask here
+        if folder is not None and jax.process_index() != 0:
+            folder = None
         self.writer = MetricsWriter(folder, comment=comment)
         self.model_writer_logs: Dict[str, list] = {}
 
@@ -189,6 +203,7 @@ class Trainer:
         self._monitor = dict(elbo=[], elbo_iter=[], lr=[], lr_iter=[])
 
         self.state: Optional[TrainState] = None
+        self._mesh = None
         self._train_step = None
         self._plateau = None
         self._schedule_fn = None
@@ -394,12 +409,12 @@ class Trainer:
             X_unsup = ds["unsupervised"].get("X")
         self._mesh = mesh
         if mesh is not None:
-            from ..parallel.mesh import shard_data_dict, batch_sharding
+            from ..parallel.mesh import shard_data_dict
             data_sup = shard_data_dict(data_sup, mesh)
             if data_vo is not None:
                 data_vo = shard_data_dict(data_vo, mesh)
             if X_unsup is not None:
-                X_unsup = jax.device_put(X_unsup, batch_sharding(mesh))
+                X_unsup = shard_data_dict({"X": X_unsup}, mesh)["X"]
         self._data_sup, self._data_vo, self._X_unsup = (data_sup, data_vo,
                                                         X_unsup)
 
@@ -777,8 +792,8 @@ class Trainer:
         logs["PredictionEnsemble/elbo"] = pe_elbo
         logs["PredictionEnsemble/logL"] = pe_logL
         logs["PredictionEnsemble/KLD"] = pe_logL - pe_elbo
-        logs["PredictionEnsemble/AvgLatentStddev"] = jnp.mean(
-            jnp.exp(pe_q["logsigma"]))
+        logs["PredictionEnsemble/AvgLatentStddev"] = _jit_mean_exp(
+            pe_q["logsigma"])
         return logs
 
     def _record(self, n: int, logs: dict):
@@ -791,12 +806,12 @@ class Trainer:
                 and self.state.params["q_X"]["supervised"]["mean"].size:
             qX = self.state.params["q_X"]["supervised"]
             self.writer.add_scalar("Monitoring/logEffProp_sup_mean",
-                                   jnp.mean(qX["mean"]), gn)
+                                   _jit_mean(qX["mean"]), gn)
             self.writer.add_scalar("Monitoring/logEffProp_sup_sigma",
-                                   jnp.mean(qX["logsigma"]), gn)
+                                   _jit_mean(qX["logsigma"]), gn)
         self.writer.add_scalar(
             "Monitoring/S_avg_precisions",
-            jnp.mean(1.0 / jnp.exp(self.state.params["g"]["logsigmas_y"]) ** 2),
+            _jit_avg_precision(self.state.params["g"]["logsigmas_y"]),
             gn)
 
         self._monitor["elbo_iter"].append(gn)
@@ -922,9 +937,18 @@ class Trainer:
             # older checkpoint written before plateau state was persisted
             like.pop("plateau")
             meta = restore_train_state(path, like=like)
-        state = jax.tree_util.tree_map(jnp.asarray, meta["state"])
+        state = meta["state"]
         if not isinstance(state, TrainState):
             state = TrainState(**state)
+        if self._mesh is not None:
+            # re-shard the restored host arrays onto the live mesh (the
+            # checkpoint stores full global values on every process;
+            # device_put with a NamedSharding re-splits them, across
+            # processes too)
+            from ..parallel.mesh import shard_train_state
+            state = shard_train_state(state, self._mesh)
+        else:
+            state = jax.tree_util.tree_map(jnp.asarray, state)
         self.state = state
         if self._plateau is not None and meta.get("plateau") is not None:
             self._plateau.load_state_dict(meta["plateau"])

@@ -506,3 +506,63 @@ def test_bilinear_upsample_matches_torch_align_corners():
         ref = torch.nn.UpsamplingBilinear2d(scale_factor=2)(xt)
         ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_codec_pad_cin_math_preserving():
+    """pad_cin pads conv INPUT channels with zeros: the padded weight
+    rows see only zero activations, so (a) cropping them away yields a
+    plain-architecture parameter set computing the same function, and
+    (b) those rows receive identically-zero gradients."""
+    kw = dict(target_img_size=32, dim_latent=8, latent_img_size=8,
+              latent_img_features=1, init_features=4, blocks=(1, 1),
+              growth_rate=4)
+    dec_plain = CNNDecoder(**kw)
+    dec_pad = CNNDecoder(pad_cin=8, **kw)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(5, 8)), jnp.float32)
+    vars_pad = dec_pad.init(jax.random.PRNGKey(1), z, train=False)
+    vars_plain = dec_plain.init(jax.random.PRNGKey(2), z, train=False)
+
+    def crop(p, ref):
+        if p.shape == ref.shape:
+            return p
+        assert p.ndim == 4 and p.shape[2] > ref.shape[2], (p.shape, ref.shape)
+        return p[:, :, : ref.shape[2], :]
+
+    vars_crop = jax.tree_util.tree_map(crop, vars_pad, vars_plain)
+    out_pad = dec_pad.apply(vars_pad, z, train=False)
+    out_plain = dec_plain.apply(vars_crop, z, train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(out_pad),
+                    jax.tree_util.tree_leaves(out_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # padded weight rows get exactly zero gradient (they can never drift)
+    def loss(params):
+        mean, logsigma = dec_pad.apply(
+            {"params": params, "batch_stats": vars_pad["batch_stats"]},
+            z, train=False)
+        return jnp.sum(mean ** 2) + jnp.sum(logsigma ** 2)
+
+    grads = jax.grad(loss)(vars_pad["params"])
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(grads)
+    flat_ref = jax.tree_util.tree_leaves(vars_plain["params"])
+    checked = 0
+    for (path, g), ref in zip(flat_g, flat_ref):
+        if g.shape != ref.shape:
+            assert g.ndim == 4
+            np.testing.assert_array_equal(
+                np.asarray(g[:, :, ref.shape[2]:, :]), 0.0)
+            checked += 1
+    assert checked > 0  # at least one conv actually got padded
+
+
+def test_unsup_compute_dtype_auto_resolution():
+    """The factory default 'auto' resolves to bf16 only where measured to
+    win (>= 128^2, +9% full step; 64^2 is a 3% loss -- PARITY round 5)."""
+    from generative_physics_informed_pde_tpu.factories.model import (
+        ModelFactory)
+
+    _, m128, *_ = ModelFactory.FromIdentifier("highres128").setup()
+    assert m128.unsup_compute_dtype == jnp.bfloat16
+    _, m32, *_ = ModelFactory.FromIdentifier("highres32").setup()
+    assert m32.unsup_compute_dtype is None

@@ -56,6 +56,57 @@ def test_sweep_over_processes_error_semantics():
     assert "__error__" in recs[1] and "boom" in recs[1]["__error__"]
 
 
+def test_sweep_over_processes_kill_and_resume(tmp_path):
+    """Durability (reference PoolBoy's periodic intermediate saves,
+    utils/database.py:34-58): a sweep killed mid-way loses nothing --
+    re-running with the same checkpoint_path skips every durably
+    completed case, retries failures, and returns the full result
+    list."""
+    from generative_physics_informed_pde_tpu import parallel
+
+    ckpt = str(tmp_path / "sweep")
+    runs = []
+
+    def fn(c):
+        runs.append(c)
+        if c == 3:  # the "kill": an uncatchable interrupt mid-sweep
+            raise KeyboardInterrupt
+        return {"val": c * 10}
+
+    with pytest.raises(KeyboardInterrupt):
+        parallel.sweep_over_processes(fn, list(range(6)),
+                                      checkpoint_path=ckpt,
+                                      save_interval_s=0.0)
+    assert runs == [0, 1, 2, 3]  # died at case 3; 0-2 are durable
+
+    def fn2(c):
+        runs.append(c)
+        return {"val": c * 10}
+
+    out = parallel.sweep_over_processes(fn2, list(range(6)),
+                                        checkpoint_path=ckpt,
+                                        save_interval_s=0.0)
+    # completed cases were NOT re-run; only 3 (retried) and 4, 5 ran
+    assert runs == [0, 1, 2, 3, 3, 4, 5]
+    assert [r["val"] for r in out] == [0, 10, 20, 30, 40, 50]
+    # failed/error cases are also retried on resume, not resurrected
+    def fn3(c):
+        if c == 1:
+            raise ValueError("flaky")
+        return {"val": c}
+
+    ckpt2 = str(tmp_path / "sweep2")
+    recs = parallel.sweep_over_processes(fn3, [0, 1, 2],
+                                         checkpoint_path=ckpt2,
+                                         save_interval_s=0.0,
+                                         return_exceptions=True)
+    assert "__error__" in recs[1]
+    out2 = parallel.sweep_over_processes(lambda c: {"val": c}, [0, 1, 2],
+                                         checkpoint_path=ckpt2,
+                                         save_interval_s=0.0)
+    assert out2[1] == {"val": 1}
+
+
 def test_distributed_initialize_inert_without_cluster_signals(monkeypatch):
     """With no coordinator args and no launcher env vars, initialize()
     must return False WITHOUT touching the jax backend or latching its
@@ -222,22 +273,31 @@ def test_energy_vo_sharded_matches_single_device():
 def test_two_process_dcn_training_matches_single_process(tmp_path):
     """SURVEY §2.7's multi-host leg: two OS processes (4 virtual CPU
     devices each) join over TCP via jax.distributed, form one global
-    8-device 'dp' mesh -- the CPU stand-in for ICI-within-host +
-    DCN-across-hosts -- and run 3 sharded SVI steps that must match the
-    single-process 8-device run bit-for-layout (same seed, same data).
-    Also exercises the host-sharded parameter study
-    (parallel.sweep_over_processes), the reference's MPI-pool
-    replacement (reference parallel/utils.py:50-74)."""
+    hybrid (dcn=2 x dp=4) mesh -- the CPU stand-in for ICI-within-host +
+    DCN-across-hosts -- and run the FULL trainer lifecycle sharded:
+    per-host label assembly (each process solves only its shard's
+    labels), 6 SVI steps with a monitor point, checkpoint save/restore
+    across the process boundary, 2 resumed steps, finalize.  Everything
+    must match the single-process 8-device run through the same
+    lifecycle (same seed, same data).  Also exercises the host-sharded
+    parameter study (parallel.sweep_over_processes), the reference's
+    MPI-pool replacement (reference parallel/utils.py:50-74)."""
     import os
     import pathlib
     import socket
     import subprocess
     import sys as _sys
 
-    # golden: the plain single-process 8-device run
+    # golden: the plain single-process 8-device run, same lifecycle
     tr8 = _make_trainer(mesh=make_mesh(8), seed=11)
-    tr8.run(3, verbose=False)
+    tr8.run(6, verbose=False)
+    tr8.save_checkpoint(str(tmp_path / "golden_ckpt"))
+    tr8.restore_checkpoint(str(tmp_path / "golden_ckpt"))
+    tr8.run(2, verbose=False)
+    tr8.finalize()
     golden = np.asarray(tr8.state.params["q_z"]["supervised"]["mean"])
+    golden_elbo = np.asarray(tr8._monitor["elbo"])
+    golden_r2 = np.asarray(tr8._analysis.series["r2_y"].value)
 
     with socket.socket() as s:  # free TCP port for the coordinator
         s.bind(("localhost", 0))
@@ -267,9 +327,18 @@ def test_two_process_dcn_training_matches_single_process(tmp_path):
         outs.append(o)
     for i, pr in enumerate(procs):
         assert pr.returncode == 0, f"child {i} failed:\n{outs[i][-4000:]}"
-    q = np.load(out)["q"]
+    rec = np.load(out)
+    q = rec["q"]
     assert q.shape == golden.shape
-    # identical math, different process layout: only cross-device f32
-    # reduction order differs (same tolerance as the single-process
-    # sharded-vs-unsharded tests above)
-    np.testing.assert_allclose(q, golden, rtol=5e-3, atol=1e-5)
+    # identical math, different process layout AND different mesh shape
+    # (hybrid 2x4 vs flat 8): f32 cross-device reduction order differs,
+    # and 8 Adam steps + a monitor burst amplify the last-ulp noise to
+    # ~1e-3 relative on the q block (3-step runs sat at ~1e-4).  Check
+    # the block as a whole tightly and elements loosely.
+    rel_l2 = np.linalg.norm(q - golden) / np.linalg.norm(golden)
+    assert rel_l2 < 2e-3, rel_l2
+    np.testing.assert_allclose(q, golden, rtol=1e-2, atol=5e-4)
+    # the monitor point saw the same training trajectory...
+    np.testing.assert_allclose(rec["elbo"], golden_elbo, rtol=2e-3)
+    # ...and the same posterior-predictive analysis metrics
+    np.testing.assert_allclose(rec["r2"], golden_r2, rtol=5e-3, atol=1e-4)
