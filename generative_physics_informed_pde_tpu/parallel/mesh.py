@@ -88,14 +88,15 @@ def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     n_proc = jax.process_count()
     if n_proc == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
-    from .distributed import local_shard_slice
+    from .distributed import global_array_from_local, local_shard_slice
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] % n_proc:
             return jax.device_put(x, replicated(mesh))
         local = x[local_shard_slice(x.shape[0])]
-        return jax.make_array_from_process_local_data(sh, local, x.shape)
+        return global_array_from_local(mesh, local, axis=axis,
+                                       global_shape=x.shape)
 
     return jax.tree_util.tree_map(put, data)
 
