@@ -46,11 +46,13 @@ DEFAULT_CONFIG = dict(
     # discards the BN update), so the training trajectory is bit-identical
     # at any interval (tested).  When > 1, each monitor point first runs a
     # re-convergence burst (N_PE_updates_monitor inner iterations) so the
-    # analysed q is as converged as the every-step cadence's.  Default 4:
-    # measured 1.25x full-step at 128^2 and 1.14x at 64^2, with the
-    # monitor metric series identical to 5 decimals vs interval 1
-    # (PARITY.md round 4).  Pass 1 for the reference's every-step cadence.
-    N_PE_interval=4,
+    # analysed q is as converged as the every-step cadence's.  Default 8:
+    # measured 1.30x full-step at 128^2 and 1.19x at 64^2 (PARITY.md
+    # round 4 cadence table), with the monitor metric series identical to
+    # 5 decimals vs interval 1 and the 1500-step endpoint agreeing to
+    # ~2e-6 (PARITY.md round 5).  Pass 1 for the reference's every-step
+    # cadence.
+    N_PE_interval=8,
     # inner PE iterations of the monitor-point burst (only used when
     # N_PE_interval > 1); None -> 8 * N_PE_updates
     N_PE_updates_monitor=None,
