@@ -566,3 +566,30 @@ def test_unsup_compute_dtype_auto_resolution():
     assert m128.unsup_compute_dtype == jnp.bfloat16
     _, m32, *_ = ModelFactory.FromIdentifier("highres32").setup()
     assert m32.unsup_compute_dtype is None
+
+
+def test_dec_architecture_overrides():
+    """The decode-architecture study knobs (PARITY round 5 'wide' arms):
+    dec_growth_rate / dec_init_features / dec_blocks rebuild the
+    highres128 decoder and produce a working forward pass; a
+    wrong-length dec_blocks raises with the expected count."""
+    import pytest
+    from generative_physics_informed_pde_tpu.factories.model import (
+        ModelFactory)
+
+    mf = ModelFactory.FromIdentifier("highres128")
+    mf.set({"dec_growth_rate": 12, "dec_init_features": 12,
+            "dec_blocks": (1, 1, 1, 1)})
+    _, model, *_ = mf.setup()
+    assert model.f.blocks == (1, 1, 1, 1)
+    assert model.f.growth_rate == 12 and model.f.init_features == 12
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 64), dtype=jnp.float32)
+    variables = model.f.init(jax.random.PRNGKey(1), z, train=False)
+    mean, logsigma = model.f.apply(variables, z, train=False)
+    assert mean.shape == (2, 128, 128) and logsigma.shape == (2, 128, 128)
+    assert bool(jnp.isfinite(mean).all())
+
+    bad = ModelFactory.FromIdentifier("highres128")
+    bad.set({"dec_blocks": (1, 1)})  # target 128 needs 4 up-blocks
+    with pytest.raises(ValueError, match="4 entries"):
+        bad.setup()
