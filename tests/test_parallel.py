@@ -342,3 +342,43 @@ def test_two_process_dcn_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(rec["elbo"], golden_elbo, rtol=2e-3)
     # ...and the same posterior-predictive analysis metrics
     np.testing.assert_allclose(rec["r2"], golden_r2, rtol=5e-3, atol=1e-4)
+
+
+def test_mc_batch_sharding_joint_split():
+    """mc_batch_sharding splits the flat (N*n_mc) axis over ALL mesh
+    axes dp-major: each dp group keeps whole data samples and 'mc'
+    subdivides their MC replicates."""
+    from generative_physics_informed_pde_tpu.parallel import (
+        mc_batch_sharding)
+
+    mesh = make_mesh(8, ("dp", "mc"), (4, 2))
+    flat = jnp.arange(16 * 4.0).reshape(16, 4)  # N=8 samples x n_mc=2
+    arr = jax.device_put(flat, mc_batch_sharding(mesh))
+    assert len(arr.sharding.device_set) == 8
+    # 16 rows over (4 dp x 2 mc) -> each shard holds 2 contiguous rows
+    shard_rows = sorted(s.index[0] for s in arr.addressable_shards)
+    assert [s.data.shape for s in arr.addressable_shards] == [(2, 4)] * 8
+    assert [r.start for r in shard_rows] == list(range(0, 16, 2))
+    np.testing.assert_array_equal(np.asarray(arr), np.asarray(flat))
+
+
+def test_dummy_future_semantics():
+    """DummyFuture parity (reference parallel/utils.py:4-46): lazy
+    compute, done() always true, exception capture vs raise."""
+    from generative_physics_informed_pde_tpu.parallel import DummyFuture
+
+    calls = []
+    fut = DummyFuture(False, lambda a, b: calls.append(1) or a + b,
+                      (2, 3), {})
+    assert fut.done() and not calls      # lazy: nothing ran yet
+    assert fut.result() == 5 and calls == [1]
+    assert fut.result() == 5 and calls == [1]   # cached, not re-run
+
+    boom = DummyFuture(True, lambda: 1 // 0, (), {})
+    assert isinstance(boom.exception(), ZeroDivisionError)  # captured
+    with pytest.raises(ZeroDivisionError):
+        boom.result()
+
+    strict = DummyFuture(False, lambda: 1 // 0, (), {})
+    with pytest.raises(ZeroDivisionError):
+        strict.compute()                 # uncaught mode raises eagerly
