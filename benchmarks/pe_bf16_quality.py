@@ -69,8 +69,16 @@ def main():
     iv_flags = [a for a in sys.argv if a.startswith("--interval")]
     if iv_flags:
         # optional cadence: `--interval=8` compares 1 vs 8 (default 4,
-        # the round-4 validation)
+        # the round-4 validation).  `=` form only: a bare `--interval N`
+        # would silently misparse N as n_steps.
+        if iv_flags[0] != "--interval" and "=" not in iv_flags[0]:
+            raise SystemExit(f"unknown flag {iv_flags[0]}; use --interval=N")
         iv = int(iv_flags[0].split("=")[1]) if "=" in iv_flags[0] else 4
+        if iv <= 1:
+            # {'int1': ..., 'int1': ...} would collapse to ONE arm and
+            # report a vacuous zero-delta "validation"
+            raise SystemExit("--interval must be > 1 (1 is the reference "
+                             "cadence both arms are compared against)")
         arms = {"int1": {"N_PE_interval": 1},
                 f"int{iv}": {"N_PE_interval": iv}}
         rows, series = run_pair(n_steps, arms, monitor_interval=250)

@@ -149,8 +149,14 @@ class DataLoader:
             row_idx = np.arange(self.N)
             Y = np.zeros((self.N, fom.dim_out), dtype=np.float64)
         else:
-            row_idx = np.arange(self.N)[rows] if isinstance(rows, slice) \
-                else np.asarray(rows, dtype=np.int64)
+            if isinstance(rows, slice):
+                row_idx = np.arange(self.N)[rows]
+            else:
+                r = np.asarray(rows)
+                # a boolean mask cast to int64 would read as indices
+                # {0,1} -- honor numpy mask semantics instead
+                row_idx = np.flatnonzero(r) if r.dtype == np.bool_ \
+                    else r.astype(np.int64)
             Y = np.full((self.N, fom.dim_out), np.nan, dtype=np.float64)
         n_rows = row_idx.size
         solve = fom.solve_batched

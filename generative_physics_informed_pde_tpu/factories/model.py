@@ -187,13 +187,18 @@ class highres(ModelFactory):
         target = self._gp("nx_rom") * 2 ** self._gp("num_refines")
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
-            latent_img_size=8, latent_img_features=1, init_features=6,
-            blocks=(1, 2, 1), growth_rate=4, drop_rate=self.params["droprate"],
+            latent_img_size=8, latent_img_features=1,
+            init_features=self.params["dec_init_features"] or 6,
+            blocks=tuple(self.params["dec_blocks"] or (1, 2, 1)),
+            growth_rate=self.params["dec_growth_rate"] or 4,
+            drop_rate=self.params["droprate"],
             upsample="nearest", binary=self.params["binary_field"],
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 2, 1),
             growth_rate=4, init_features=6, drop_rate=self.params["droprate"],
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None
@@ -219,14 +224,19 @@ class highres32(ModelFactory):
         target = self._gp("nx_rom") * 2 ** self._gp("num_refines")
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
-            latent_img_size=8, latent_img_features=1, init_features=4,
-            blocks=(1, 1), growth_rate=4, drop_rate=self.params["droprate"],
+            latent_img_size=8, latent_img_features=1,
+            init_features=self.params["dec_init_features"] or 4,
+            blocks=tuple(self.params["dec_blocks"] or (1, 1)),
+            growth_rate=self.params["dec_growth_rate"] or 4,
+            drop_rate=self.params["droprate"],
             upsample="nearest", binary=self.params["binary_field"],
             homoscedastic=self.params["homoscedastic"],
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         encoder = CNNEncoder(
             imsize=target, latent_dim=self._gp("dim_latent"), blocks=(1, 1),
             growth_rate=4, init_features=4, drop_rate=self.params["droprate"],
+            pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         if not self.params["use_encoder"]:
             encoder = None

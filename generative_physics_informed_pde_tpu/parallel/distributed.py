@@ -177,6 +177,16 @@ def fetch(x):
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
+def _jsonable(v):
+    """json.dump ``default`` for sweep rows: numpy/jax scalars and arrays
+    via .tolist(); anything else is a loud error (results must be JSON
+    rows -- required by both the allgather exchange and durability)."""
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    raise TypeError(f"sweep result of type {type(v).__name__} is not "
+                    "JSON-serializable; return dicts/lists of numbers")
+
+
 def _sweep_part_files(checkpoint_path: str):
     import glob
 
@@ -212,15 +222,11 @@ def _save_sweep_part(part_file: str, local: dict):
     import os
     import warnings
 
-    def _np(v):
-        if hasattr(v, "tolist"):
-            return v.tolist()
-        raise TypeError(f"not JSON-serializable: {type(v).__name__}")
-
     try:
         tmp = part_file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({str(k): v for k, v in local.items()}, fh, default=_np)
+            json.dump({str(k): v for k, v in local.items()}, fh,
+                      default=_jsonable)
         os.replace(tmp, part_file)
     except Exception as e:  # noqa: BLE001 -- durability is best-effort
         warnings.warn(f"sweep checkpoint save failed ({e!r}); continuing "
@@ -298,6 +304,20 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
         return out
 
     if P_ == 1 or not allgather:
+        if checkpoint_path is not None:
+            # durability implies JSON rows: round-trip freshly computed
+            # results through the same encode/decode that resumed cases
+            # went through, so a resumed sweep's result list has uniform
+            # types (np arrays/tuples become lists on BOTH paths)
+            import json as _json
+
+            for k in list(local):
+                try:
+                    local[k] = _json.loads(
+                        _json.dumps(local[k], default=_jsonable))
+                except TypeError as e:
+                    local[k] = {"__error__": f"case {k}: unserializable "
+                                             f"result ({e})"}
         return _finish([local.get(i) for i in range(len(cases))])
     # exchange the host-side python results across processes as padded
     # JSON bytes via process_allgather.  Study records are dicts/lists of
@@ -305,12 +325,6 @@ def sweep_over_processes(fn, cases: Sequence, allgather: bool = True,
     import json
 
     from jax.experimental import multihost_utils
-
-    def _jsonable(v):
-        if hasattr(v, "tolist"):  # numpy / jax scalar or array
-            return v.tolist()
-        raise TypeError(f"sweep result of type {type(v).__name__} is not "
-                        "JSON-serializable; return dicts/lists of numbers")
 
     try:
         payload = json.dumps({str(k): v for k, v in local.items()},

@@ -49,10 +49,14 @@ def batch_pspec(mesh: Mesh, axis: str = "dp") -> P:
     from ``parallel.make_hybrid_mesh`` the batch axis crosses hosts
     along the leading 'dcn' axis and local devices along ``axis``:
     ``P(('dcn', axis))`` -- shards stay process-major and contiguous,
-    matching ``local_shard_slice``."""
+    matching ``local_shard_slice``.  An ``axis`` the mesh does not have
+    is an error (a typo here would otherwise silently train with the
+    wrong data distribution)."""
     names = mesh.axis_names
+    if axis not in names:
+        raise ValueError(f"axis {axis!r} not in mesh axes {tuple(names)}")
     if "dcn" in names and axis != "dcn":
-        return P(("dcn", axis)) if axis in names else P("dcn")
+        return P(("dcn", axis))
     return P(axis)
 
 
@@ -83,11 +87,18 @@ def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     global copy.  Rows outside the local slice are never touched.
     Arrays whose leading dim does not divide by the process count (and
     0-d leaves) are placed replicated from the (then required) full host
-    value."""
+    value.
+
+    The process-local path is taken only when the MESH itself spans
+    processes: a host-local mesh in a multi-process job (e.g. a
+    ``sweep_over_devices`` study case using this host's chips) is fully
+    addressable and takes the plain ``device_put`` path with the full
+    host value."""
     sh = batch_sharding(mesh, axis)
-    n_proc = jax.process_count()
-    if n_proc == 1:
+    spans = len({d.process_index for d in mesh.devices.flat}) > 1
+    if not spans:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+    n_proc = jax.process_count()
     from .distributed import global_array_from_local, local_shard_slice
 
     def put(x):

@@ -593,3 +593,21 @@ def test_dec_architecture_overrides():
     bad.set({"dec_blocks": (1, 1)})  # target 128 needs 4 up-blocks
     with pytest.raises(ValueError, match="4 entries"):
         bad.setup()
+
+
+def test_decode_knobs_consumed_by_every_preset():
+    """codec_pad_cin / dec_growth_rate / dec_init_features / dec_blocks
+    live in the BASE factory params, so every preset must actually
+    consume them -- a preset that accepts-but-ignores them turns
+    margs-driven A/Bs into silent self-comparisons (round-5 review)."""
+    from generative_physics_informed_pde_tpu.factories.model import (
+        ModelFactory)
+
+    for ident in ("highres", "highres32"):
+        mf = ModelFactory.FromIdentifier(
+            ident, codec_pad_cin=8, dec_growth_rate=6, dec_init_features=10)
+        _, model, _, encoder, _ = mf.setup()
+        assert model.f.pad_cin == 8, ident
+        assert model.f.growth_rate == 6, ident
+        assert model.f.init_features == 10, ident
+        assert encoder.pad_cin == 8, ident

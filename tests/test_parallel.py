@@ -382,3 +382,53 @@ def test_dummy_future_semantics():
     strict = DummyFuture(False, lambda: 1 // 0, (), {})
     with pytest.raises(ZeroDivisionError):
         strict.compute()                 # uncaught mode raises eagerly
+
+
+def test_batch_pspec_unknown_axis_raises():
+    """A typo'd batch axis must fail loudly, not silently fall back to a
+    different (or no) sharding -- on hybrid meshes the old fallback was
+    P('dcn'), which trains with the wrong data distribution."""
+    from jax.sharding import Mesh
+
+    mesh = make_mesh(8, ("dp",))
+    with pytest.raises(ValueError, match="not in mesh axes"):
+        batch_sharding(mesh, axis="pd")
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    hmesh = Mesh(devs, ("dcn", "dp"))
+    with pytest.raises(ValueError, match="not in mesh axes"):
+        batch_sharding(hmesh, axis="mc")
+
+
+def test_shard_data_dict_host_local_mesh_in_multiprocess_job(monkeypatch):
+    """shard_data_dict must key the process-local path on whether the
+    MESH spans processes, not on jax.process_count(): a host-local mesh
+    in a multi-process job (a sweep_over_devices study case) is fully
+    addressable and owns ALL its rows."""
+    mesh = make_mesh(8, ("dp",))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    data = {"X": np.arange(32.0).reshape(16, 2)}
+    out = shard_data_dict(data, mesh)
+    assert out["X"].shape == (16, 2)  # NOT halved to this "process's" slice
+    np.testing.assert_array_equal(np.asarray(out["X"]), data["X"])
+    assert len(out["X"].sharding.device_set) == 8
+
+
+def test_durable_sweep_result_types_uniform(tmp_path):
+    """With checkpointing on, freshly-computed and resumed results must
+    have identical (JSON-row) types: np arrays become lists on BOTH
+    paths, so downstream code behaves the same on first run and resume."""
+    from generative_physics_informed_pde_tpu.parallel import (
+        sweep_over_processes)
+
+    path = str(tmp_path / "sweep")
+
+    def fn(c):
+        return {"v": np.array([c, c + 1.0])}
+
+    out1 = sweep_over_processes(fn, [0, 1, 2], checkpoint_path=path)
+    assert all(isinstance(r["v"], list) for r in out1), out1
+    # resume with one extra case: mixed resumed + fresh results
+    out2 = sweep_over_processes(fn, [0, 1, 2, 3], checkpoint_path=path)
+    assert all(isinstance(r["v"], list) for r in out2), out2
+    assert out2[:3] == out1

@@ -587,3 +587,17 @@ def test_assemble_retries_transient_runtime_errors(monkeypatch, _raw_fields):
     vals = dl.BCE.constrained_values("fom")
     y0 = fom.solve_direct(np.exp(np.asarray(dl.X_DG[0])), vals[0])
     np.testing.assert_allclose(dl.Y[0], y0, rtol=1e-6, atol=1e-8)
+
+
+def test_assemble_bool_mask_rows(small_loaders):
+    """assemble(rows=<bool mask>) honors numpy mask semantics -- an int64
+    cast would silently solve rows {0,1} repeatedly and leave the
+    intended rows NaN."""
+    dl, _ = small_loaders
+    physics = fem.make_fom_rom_pair("NDP", 4, 4, 3)
+    mask = np.zeros(dl.N, dtype=bool)
+    mask[[1, 4]] = True
+    dl.assemble(physics, rows=mask)
+    assert np.isfinite(dl.Y[[1, 4]]).all()
+    other = np.flatnonzero(~mask)
+    assert np.isnan(dl.Y[other]).all()
