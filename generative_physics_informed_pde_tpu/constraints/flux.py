@@ -78,8 +78,16 @@ class FluxConstraintOperator:
         weight w."""
         fine, coarse = self.fine, self.coarse
         refine = fine.nx // coarse.nx
-        assert refine * coarse.nx == fine.nx and \
-            fine.ny // coarse.ny * coarse.ny == fine.ny
+        if (refine * coarse.nx != fine.nx
+                or fine.ny // coarse.ny * coarse.ny != fine.ny
+                or fine.ny // coarse.ny != refine):
+            # unequal x/y refinement would split coarse edges into the
+            # wrong number of sub-edges and put coarse diagonals off the
+            # fine edge lattice -- silently wrong constraint weights
+            raise ValueError(
+                f"fine grid ({fine.nx}x{fine.ny}) must refine coarse "
+                f"({coarse.nx}x{coarse.ny}) by the SAME integer factor "
+                "on both axes")
         eps = 1e-9
 
         qs, is_, cs, ws = [], [], [], []

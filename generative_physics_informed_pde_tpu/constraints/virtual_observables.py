@@ -310,7 +310,10 @@ def _condition_single(Gamma, alpha, g, prec, vo_variances, eps):
     A = Gamma * cov[None, :]                      # (m, d)
     AL = jax.scipy.linalg.solve_triangular(L, A / d[:, None], lower=True)
     post_sub = jnp.sum(AL * AL, axis=0)
-    vars_ = cov - post_sub
+    # clamp HERE (not only in the trainer-side caller): f32 cancellation
+    # with near-exact constraints (post_sub ~= cov) can leave vars_
+    # slightly negative, and sqrt/log of that is NaN for any API user
+    vars_ = jnp.maximum(cov - post_sub, 1e-12)
     return mean, vars_
 
 
@@ -517,7 +520,11 @@ class VirtualObservablesEnsemble:
             # non-finite prior): stored moments MUST be finite, or the next
             # gamma_precision_beta re-poisons every sample.  Neutral stand-in:
             # zero mean with a huge variance (an uninformative pseudo-label).
-            mean = jnp.nan_to_num(mean)
+            # +/-inf must map to 0, NOT FLT_MAX (the nan_to_num default):
+            # FLT_MAX squared in the precision residual overflows to inf and
+            # inf * 0-weight = NaN -- exactly the ensemble-wide poisoning
+            # this path exists to contain.
+            mean = jnp.nan_to_num(mean, posinf=0.0, neginf=0.0)
             vars_ = jnp.where(jnp.isfinite(vars_), vars_,
                               jnp.asarray(1e6, dtype=vars_.dtype))
         if writer is not None and n_bad:

@@ -39,7 +39,9 @@ _SIDE_EDGES = {}
 
 def _side_edges(grid: StructuredTriGrid, side: str):
     """(n_edges, 2) node-id pairs + edge length along one boundary side."""
-    key = (grid.nx, grid.ny, side)
+    # hx/hy in the key: same-resolution grids over DIFFERENT physical
+    # domains must not share cached edge lengths
+    key = (grid.nx, grid.ny, float(grid.hx), float(grid.hy), side)
     if key not in _SIDE_EDGES:
         nodes = grid.boundary_nodes(side)
         coords = grid.node_coords[nodes]

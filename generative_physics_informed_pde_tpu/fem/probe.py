@@ -20,11 +20,15 @@ from .grid import StructuredTriGrid
 from .interpolation import p1_interpolation_matrix
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class Probe:
     """Evaluate nodal (CG1) fields at fixed points
     (reference: fawkes/Probe.py -- there PETSc-backed; here one static
-    interpolation matrix)."""
+    interpolation matrix).
+
+    ``eq=False``: the ndarray field makes the generated ``__eq__`` raise
+    ("truth value of an array is ambiguous") and ``__hash__`` TypeError;
+    identity semantics are the honest contract."""
 
     grid: StructuredTriGrid
     points: np.ndarray  # (n_points, 2)

@@ -84,9 +84,12 @@ def convert_log_mean_std(mean: float, std: float):
     return mu, sigma
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class GaussianRandomField:
-    """SE Gaussian random field on a set of points or a pixel grid."""
+    """SE Gaussian random field on a set of points or a pixel grid.
+
+    ``eq=False``: the ndarray ``X`` field would make the generated
+    ``__eq__`` raise and ``__hash__`` TypeError; identity semantics."""
 
     mean: float
     stddev: float
@@ -191,8 +194,14 @@ class GaussianRandomField:
         # pixel widths in PHYSICAL units, derived from the stored points
         # so non-unit domains (from_image ly/lx) get the same covariance
         # as the dense paths
-        wx = (float(self.X[1, 0] - self.X[0, 0]) if px > 1 else 1.0 / px)
-        wy = (float(self.X[px, 1] - self.X[0, 1]) if py > 1 else 1.0 / py)
+        # a degenerate axis (px==1 / py==1) has no point spacing to read;
+        # its single pixel is centred at half the domain extent
+        # (pixel_center_points), so width = 2 * centre -- NOT 1.0, which
+        # would silently assume a unit domain
+        wx = (float(self.X[1, 0] - self.X[0, 0]) if px > 1
+              else 2.0 * float(self.X[0, 0]))
+        wy = (float(self.X[px, 1] - self.X[0, 1]) if py > 1
+              else 2.0 * float(self.X[0, 1]))
         # periodic distances on the embedding torus
         dy = np.minimum(np.arange(my), my - np.arange(my)) * wy
         dx = np.minimum(np.arange(mx), mx - np.arange(mx)) * wx

@@ -168,7 +168,11 @@ class Analysis:
             def fn(params, q, key, Y, F):
                 Ys = self.sample_predictive_y(params, q, key, n_monte_carlo,
                                               F=F)
-                return metrics(Ys.mean(axis=1), Ys.std(axis=1, ddof=1), Y)
+                # same 1e-12 variance floor as the chunked path: a
+                # collapsed posterior must not yield -log(0) = inf here
+                # while reporting a finite clamped value there
+                std = jnp.maximum(Ys.std(axis=1, ddof=1), 1e-6)
+                return metrics(Ys.mean(axis=1), std, Y)
             return fn
 
         S_eff = chunk * n_chunks  # MC count rounded UP to fill chunks
@@ -247,7 +251,8 @@ class Analysis:
         if n_chunks == 1:
             def fn(params, batch_stats, q, key, X):
                 Xs = decode_chunk(params, batch_stats, q, key, n_monte_carlo)
-                return metrics(Xs.mean(axis=1), Xs.std(axis=1, ddof=1), X)
+                std = jnp.maximum(Xs.std(axis=1, ddof=1), 1e-6)
+                return metrics(Xs.mean(axis=1), std, X)
             return fn
 
         S_eff = chunk * n_chunks
@@ -272,17 +277,23 @@ class Analysis:
                  iteration: Optional[int] = None):
         """Both x and y metric families (reference eval_all,
         components.py:486-491)."""
-        self.eval_all_y(params, q, key, n_monte_carlo, iteration=iteration)
+        y = self.eval_all_y(params, q, key, n_monte_carlo,
+                            iteration=iteration)
         key_x = jax.random.fold_in(key, 1)
         cache_key = ("x", n_monte_carlo)
         if cache_key not in self._jitted:
             self._jitted[cache_key] = jax.jit(self.eval_all_x_fn(n_monte_carlo))
         out = self._jitted[cache_key](params, batch_stats, q, key_x,
                                       self.data["X"])
+        res = {k: float(v) for k, v in out.items()}
         if iteration is not None:
             self.series["relerr_x"].append(iteration, out["relerr_x"])
             self.series["logscore_x"].append(iteration, out["logscore_x"])
-        return {k: float(v) for k, v in out.items()}
+        else:
+            # with no series to record into, the y scalars must come back
+            # to the caller -- dropping them wastes the whole MC propagate
+            res["logscore_y"], res["r2_y"], res["relerr_y"] = y
+        return res
 
     @classmethod
     def from_encoder(cls, model, params, batch_stats, data, **kw):

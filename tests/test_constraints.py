@@ -546,3 +546,39 @@ def test_vo_spec_preset():
     from generative_physics_informed_pde_tpu.training.trainer import (
         DEFAULT_CONFIG)
     assert DEFAULT_CONFIG["N_vo_update_interval"] == 50
+
+
+def test_contained_inf_prior_does_not_poison_precision(setup):
+    """+/-inf priors (not just NaN) must be neutralized by failure
+    containment: nan_to_num's default maps inf to FLT/DBL_MAX, whose
+    square overflows to inf in the next precision update and
+    inf * 0-weight = NaN poisons beta for EVERY constraint."""
+    physics, qpe, Y, _ = setup
+    op = FluxConstraintOperator(coarse=physics["rom"].grid,
+                                fine=physics["fom"].grid)
+    sampler = FluxConstrainSampler(operator=op, physics=physics["fom"])
+    rng = np.random.default_rng(3)
+    G = jnp.asarray(rng.normal(size=(qpe.N, qpe.dim_out)))
+    PREC = jnp.ones((qpe.N, qpe.dim_out))
+    vo = VirtualObservablesEnsemble(qpe, sampler, dtype=jnp.float64)
+    G_bad = G.at[0].set(jnp.inf)
+    with pytest.warns(UserWarning, match="non-finite"):
+        vo.update(G_bad, PREC, 0)
+    m = np.asarray(vo.mean)
+    assert np.isfinite(m).all()
+    assert np.abs(m[0]).max() < 1e6, "inf must map to 0, not DBL_MAX"
+    # second update: beta must stay finite for all constraints
+    vo.update(G_bad, PREC, 1)
+    assert np.isfinite(np.asarray(vo.vo_variances)).all()
+    assert np.isfinite(np.asarray(vo.mean)).all()
+
+
+def test_flux_operator_rejects_unequal_refinement():
+    """Unequal x/y refinement factors would silently produce wrong
+    constraint weights; must raise instead."""
+    from generative_physics_informed_pde_tpu.fem import StructuredTriGrid
+
+    op = FluxConstraintOperator(coarse=StructuredTriGrid(4, 2),
+                                fine=StructuredTriGrid(8, 8))
+    with pytest.raises(ValueError, match="SAME integer factor"):
+        op._entries

@@ -189,3 +189,35 @@ def test_rom_solve_chunked_matches_unchunked(rng):
     # gradient path through the chunked solve
     g = jax.grad(lambda a: jnp.sum(rom_solve(M, a, F, bc, max_chunk=8) ** 2))(alpha)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_neumann_force_cache_not_shared_across_domain_sizes():
+    """The side-edge cache must key on the physical grid spacing: two
+    grids with the same resolution but different domain sizes were
+    sharing cached unit-domain edge lengths (round-5 review, verified
+    numerically: the 2x2-domain load summed to 1.0 instead of 2.0)."""
+    from generative_physics_informed_pde_tpu.fem import (StructuredTriGrid,
+                                                         neumann_force)
+
+    g1 = StructuredTriGrid(4, 4, 1.0, 1.0)
+    g2 = StructuredTriGrid(4, 4, 2.0, 2.0)
+    # prime the cache with the unit grid, then hit the 2x2 one
+    s1 = float(neumann_force(g1, "left", jnp.ones(g1.ny)).sum())
+    s2 = float(neumann_force(g2, "left", jnp.ones(g2.ny)).sum())
+    np.testing.assert_allclose(s1, 1.0, rtol=1e-12)   # side length ly=1
+    np.testing.assert_allclose(s2, 2.0, rtol=1e-12)   # side length ly=2
+
+
+def test_probe_and_randomfield_identity_semantics():
+    """ndarray-field dataclasses use eq=False: hashing works (identity)
+    instead of raising TypeError, and == doesn't raise on multi-point
+    arrays."""
+    from generative_physics_informed_pde_tpu.fem import (
+        GaussianRandomField, Probe, StructuredTriGrid)
+
+    grid = StructuredTriGrid(4, 4)
+    p = Probe(grid, np.array([[0.25, 0.25], [0.5, 0.75]]))
+    assert hash(p) == hash(p)
+    assert p == p and not (p == Probe(grid, p.points))
+    rf = GaussianRandomField.from_image(4, 4, 0.0, 1.0, 0.3)
+    assert hash(rf) == hash(rf)

@@ -66,6 +66,13 @@ def test_analysis_from_encoder_and_eval_all(small_model):
     assert np.isfinite(out["relerr_x"]) and np.isfinite(out["logscore_x"])
     assert analysis.series["relerr_x"].final() == out["relerr_x"]
     assert analysis.series["relerr_y"].iteration[-1] == 5
+    # iteration=None has no series to record into, so the y scalars must
+    # come back in the dict (round-5 review: they were computed and
+    # silently dropped)
+    out_n = analysis.eval_all(params, bs, q, jax.random.PRNGKey(1), 8,
+                              iteration=None)
+    for k in ("relerr_x", "logscore_x", "relerr_y", "r2_y", "logscore_y"):
+        assert k in out_n and np.isfinite(out_n[k]), k
 
 
 def test_analysis_chunked_eval_matches_oneshot(small_model, monkeypatch):
