@@ -42,7 +42,9 @@ class DataLoader:
         if X.ndim != 3:
             raise ValueError("X must be (N, py, px)")
         if BCE is not None and len(BCE) != X.shape[0]:
-            raise ValueError
+            raise ValueError(
+                f"BCE has {len(BCE)} boundary conditions for "
+                f"{X.shape[0]} fields")
         self._X = X
         self._X_DG = X_DG
         self._Y = Y
@@ -398,9 +400,17 @@ class DataLoader:
             parts = [sampler.sample_numpy(rng_np, min(CH, N - i))
                      for i in range(0, N, CH)]
             X = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        else:  # generic jax sampler fallback
-            X = np.asarray(sampler.sample(jax.random.PRNGKey(seed),
-                                          batch_size=N, dtype=dtype))
+        else:  # generic jax sampler fallback -- chunked like the paths
+            # above (one unchunked N-sized draw would re-introduce the
+            # unbounded peak memory the caps exist to prevent)
+            CH = max(1, min(N, getattr(sampler, "max_sample_batch", 1024),
+                            1024))
+            base = jax.random.PRNGKey(seed)
+            parts = [np.asarray(sampler.sample(
+                jax.random.fold_in(base, i),
+                batch_size=min(CH, N - i), dtype=dtype))
+                for i in range(0, N, CH)]
+            X = parts[0] if len(parts) == 1 else np.concatenate(parts)
         return cls(X=np.asarray(X, dtype=np.float64))
 
     def __repr__(self):  # pragma: no cover

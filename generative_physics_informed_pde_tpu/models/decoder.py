@@ -90,6 +90,14 @@ class CNNDecoder(nn.Module):
             out = nn.sigmoid(x[..., 0])
             return out.reshape(b, -1) if flatten else out
 
+        if self.force_single_output:
+            # reference Decoder.py:293-304: a single-channel non-binary
+            # decode returns the mean alone.  (Reading x[..., 1] here
+            # would NOT raise -- JAX clamps static out-of-bounds indices
+            # -- it would silently return (mean, mean).)
+            out = x[..., 0]
+            return out.reshape(b, -1) if flatten else out
+
         if self.homoscedastic:
             mean = x[..., 0]
             logsigma = self.param(

@@ -70,7 +70,10 @@ def apply_stencil(coefs: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray,
         # fit double-buffered coefs blocks + scratch in ~11MB of VMEM
         budget = 11 * 2 ** 20
         per_row = (2 * 7 + 3) * Nx * LANES * v.dtype.itemsize
-        tile_rows = max(4, min(32, budget // per_row))
+        # floor at 1, not 4: for wide grids (Nx ~ 512 f32) per_row can
+        # exceed budget/4, and a forced TY=4 overcommits the ~16MB VMEM
+        # instead of shrinking the tile
+        tile_rows = max(1, min(32, budget // per_row))
     TY = min(tile_rows, Ny)
     nt = -(-Ny // TY)
     Bp = -(-B // LANES) * LANES
@@ -195,7 +198,7 @@ def apply_stencil_sym(coefs4: jnp.ndarray, v: jnp.ndarray, mask: jnp.ndarray,
         # blocks must fit in ~12MB of VMEM
         budget = 12 * 2 ** 20
         per_row = (2 * (1 + 4) + 2) * Nx * LANES * v.dtype.itemsize
-        tile_rows = max(4, min(32, budget // per_row - 2))
+        tile_rows = max(1, min(32, budget // per_row - 2))
     TY = min(tile_rows, Ny)
     nt = -(-Ny // TY)
     Bp = -(-B // LANES) * LANES

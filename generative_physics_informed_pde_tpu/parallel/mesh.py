@@ -112,12 +112,9 @@ def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     return jax.tree_util.tree_map(put, data)
 
 
-def _path_contains(path, names) -> bool:
-    for entry in path:
-        key = getattr(entry, "key", getattr(entry, "name", None))
-        if key in names:
-            return True
-    return False
+# one shared path-membership helper (utils.params also uses it for
+# freeze masks) -- a fix for new pytree key kinds must land once
+from ..utils.params import _path_matches as _path_contains  # noqa: E402
 
 
 def shard_train_state(state, mesh: Mesh, axis: str = "dp",

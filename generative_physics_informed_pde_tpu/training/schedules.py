@@ -29,8 +29,14 @@ def multistep_lr(lr_init: float, milestones: Sequence[int], factor: float,
     optimiser gated to every k-th training step advances updates/k counts
     per iteration (e.g. the PE inner Adam under N_PE_interval)."""
     assert factor < 1
-    boundaries = {max(1, round(int(m) * steps_per_update)): factor
-                  for m in milestones}
+    # accumulate factors for milestones that round to the SAME update
+    # count (fractional steps_per_update can collapse neighbours): each
+    # requested decay must still apply, or the optimiser silently runs at
+    # 1/factor times the intended lr afterwards
+    boundaries: dict = {}
+    for m in milestones:
+        b = max(1, round(int(m) * steps_per_update))
+        boundaries[b] = boundaries.get(b, 1.0) * factor
     return optax.piecewise_constant_schedule(lr_init, boundaries)
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..data.sampling import minibatch_indices
 from ..factories.data import DataFactory
 from ..factories.model import ModelFactory
 from ..inference.analysis import Analysis
@@ -543,8 +544,8 @@ class Trainer:
             if "unsup" in step_data:
                 X_unsup = step_data["unsup"]
                 if amortized:
-                    idx = jax.random.choice(k_batch, X_unsup.shape[0],
-                                            (armortized_bs,), replace=False)
+                    idx = minibatch_indices(k_batch, X_unsup.shape[0],
+                                            armortized_bs)
                     data["unsupervised"] = {"X": X_unsup[idx]}
                 else:
                     data["unsupervised"] = {"X": X_unsup}
@@ -781,7 +782,13 @@ class Trainer:
         if n_burst is None:
             n_burst = 8 * self.get("N_PE_updates")
         if n_burst <= 0:
-            return logs
+            # no burst to refresh them: drop cadence-skipped NaN PE
+            # metrics rather than writing bare NaN tokens (invalid
+            # strict JSON) into metrics.jsonl
+            import math
+            return {k: v for k, v in logs.items()
+                    if not (k.startswith("PredictionEnsemble")
+                            and not math.isfinite(float(v)))}
         if getattr(self, "_pe_burst_update", None) is None:
             self._pe_burst_update = jax.jit(
                 self._PE.update, static_argnames=("num_iter", "final"))
@@ -1028,8 +1035,15 @@ def CreateDataSetsFromPermutation(identifier, permutation, permutation_u,
     if dl._Y is None:  # skip when labels were already assembled
         dl.assemble(physics, BCE=BCE)
 
-    assert len(dl) == len(permutation)
-    assert len(dlu) == len(permutation_u)
+    # None is a documented default: randomized_partition draws a fresh
+    # permutation itself (loader.py:253-255) -- only validate lengths for
+    # USER-supplied permutations
+    if permutation is not None and len(dl) != len(permutation):
+        raise ValueError(f"permutation has {len(permutation)} entries for "
+                         f"{len(dl)} supervised fields")
+    if permutation_u is not None and len(dlu) != len(permutation_u):
+        raise ValueError(f"permutation_u has {len(permutation_u)} entries "
+                         f"for {len(dlu)} unsupervised fields")
 
     partition = {"supervised": N_s_max}
     if N_vo_max > 0:

@@ -611,3 +611,21 @@ def test_decode_knobs_consumed_by_every_preset():
         assert model.f.growth_rate == 6, ident
         assert model.f.init_features == 10, ident
         assert encoder.pad_cin == 8, ident
+
+
+def test_decoder_force_single_output_returns_mean_only():
+    """Single-channel non-binary decode returns the mean ALONE
+    (reference Decoder.py:293-304).  The old x[..., 1] read on a size-1
+    axis clamped to index 0 -- JAX does not raise -- silently yielding
+    (mean, mean)."""
+    dec = CNNDecoder(target_img_size=32, dim_latent=8, latent_img_size=8,
+                     latent_img_features=1, init_features=4, blocks=(1, 1),
+                     growth_rate=4, force_single_output=True)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(3, 8)),
+                    jnp.float32)
+    variables = dec.init(jax.random.PRNGKey(0), z, train=False)
+    out = dec.apply(variables, z, train=False)
+    assert not isinstance(out, tuple)
+    assert out.shape == (3, 32, 32)
+    flat = dec.apply(variables, z, train=False, flatten=True)
+    assert flat.shape == (3, 1024)

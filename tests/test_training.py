@@ -601,3 +601,45 @@ def test_assemble_bool_mask_rows(small_loaders):
     assert np.isfinite(dl.Y[[1, 4]]).all()
     other = np.flatnonzero(~mask)
     assert np.isnan(dl.Y[other]).all()
+
+
+def test_multistep_lr_colliding_milestones_accumulate():
+    """Milestones that round to the same update count (fractional
+    steps_per_update) must each still apply their decay factor."""
+    from generative_physics_informed_pde_tpu.training.schedules import (
+        multistep_lr)
+
+    # 0.375 steps/update: milestones 1 and 2 both land on update 1
+    sched = multistep_lr(1.0, [1, 2], 0.1, steps_per_update=0.375)
+    assert abs(float(sched(0)) - 1.0) < 1e-12
+    assert abs(float(sched(1)) - 0.01) < 1e-12  # factor applied TWICE
+
+
+def test_create_trainer_permutation_none(small_loaders):
+    """The advertised permutation=None default must work: the loader
+    draws its own permutation (round-5 review: an assert crashed on
+    len(None) before that path was reachable)."""
+    dl, dlu = small_loaders
+    p = _params()
+    tr = CreateTrainerFromPermutation(p, dl=dl, dlu=dlu)
+    tr.setup(scheduler_spec=p.scheduler)
+    tr.run(2, verbose=False)
+    assert np.isfinite(tr._monitor["elbo"][-1] if tr._monitor["elbo"]
+                       else 0.0)
+
+
+def test_from_sampler_generic_fallback_chunks():
+    """A sampler exposing only .sample is drawn in chunks bounded by its
+    max_sample_batch, not one unchunked N-sized draw."""
+    calls = []
+
+    class Stub:
+        max_sample_batch = 4
+
+        def sample(self, key, batch_size, dtype=None):
+            calls.append(batch_size)
+            return jnp.zeros((batch_size, 8, 8))
+
+    dl = DataLoader.from_sampler(Stub(), 10, key=jax.random.PRNGKey(0))
+    assert dl.N == 10
+    assert max(calls) <= 4 and sum(calls) == 10, calls
