@@ -57,18 +57,59 @@ class DataFactory:
 
     from_identifier = FromIdentifier
 
+    def _cache_meta(self, N: int) -> dict:
+        """Fingerprint of everything the cached dataset depends on: the
+        cache is keyed by identifier only, so a preset edit (N, field
+        statistics, kernel) must INVALIDATE it, not silently load stale
+        data."""
+        rf = self._rfs
+        return {"N": int(N), "py": rf.py, "px": rf.px,
+                "mean": float(rf.mean), "stddev": float(rf.stddev),
+                "corrlength": float(rf.corrlength), "kernel": rf.kernel,
+                "truncation": str(rf.truncation)}
+
     def _create_dataloader(self, N: int, identifier: str, extension: str,
                            seed: int) -> DataLoader:
         """Load from cache or sample & save (reference:
-        factories/data.py:49-61)."""
+        factories/data.py:49-61).  A sidecar ``.meta.json`` fingerprint
+        guards against stale caches when preset parameters change."""
+        import json
+        import warnings
+
         file = ensure_file_extension(self.path + identifier, extension)
+        meta_file = file + ".meta.json"
+        meta = self._cache_meta(N)
         if os.path.exists(file) and not self._forced_setup:
-            return DataLoader.from_file(file)
+            stale = None
+            if os.path.exists(meta_file):
+                try:
+                    with open(meta_file) as fh:
+                        cached = json.load(fh)
+                    if cached != meta:
+                        stale = f"meta {cached} != {meta}"
+                except (OSError, ValueError):
+                    stale = "unreadable meta"
+            dl = None
+            if stale is None:
+                dl = DataLoader.from_file(file)
+                if dl.N != N or (meta["py"] is not None and
+                                 dl.X.shape[1:] != (meta["py"], meta["px"])):
+                    stale, dl = (f"cached N={dl.N}/shape={dl.X.shape[1:]}"
+                                 f" vs preset N={N}", None)
+            if dl is not None:
+                if not os.path.exists(meta_file):  # adopt pre-meta caches
+                    with open(meta_file, "w") as fh:
+                        json.dump(meta, fh)
+                return dl
+            warnings.warn(f"dataset cache {file} is stale ({stale}); "
+                          "resampling", RuntimeWarning)
         os.makedirs(self.path, exist_ok=True)
         dl = DataLoader.from_sampler(self._rfs, N,
                                      key=jax.random.PRNGKey(seed),
                                      dtype=jnp.float64)
         dl.save(file)
+        with open(meta_file, "w") as fh:
+            json.dump(meta, fh)
         return dl
 
     def _create_dataloaders(self):

@@ -81,6 +81,14 @@ class ModelFactory:
         self._identifier = None
         self._custom_params_set_flag = False
 
+    def _dec(self, key, default):
+        """Decode-architecture override, None = preset default.  An
+        explicit None-check (NOT ``or``): falsy-but-set overrides like 0
+        or () must reach the constructor and fail loudly there, not be
+        silently replaced by the preset value mid-sweep."""
+        v = self.params[key]
+        return default if v is None else v
+
     def _compute_dtype(self):
         cd = self.params.get("compute_dtype")
         return None if cd is None else fetch_dtype(cd)
@@ -188,11 +196,12 @@ class highres(ModelFactory):
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=1,
-            init_features=self.params["dec_init_features"] or 6,
-            blocks=tuple(self.params["dec_blocks"] or (1, 2, 1)),
-            growth_rate=self.params["dec_growth_rate"] or 4,
+            init_features=self._dec("dec_init_features", 6),
+            blocks=tuple(self._dec("dec_blocks", (1, 2, 1))),
+            growth_rate=self._dec("dec_growth_rate", 4),
             drop_rate=self.params["droprate"],
             upsample="nearest", binary=self.params["binary_field"],
+            homoscedastic=self.params["homoscedastic"],
             pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         encoder = CNNEncoder(
@@ -225,9 +234,9 @@ class highres32(ModelFactory):
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=1,
-            init_features=self.params["dec_init_features"] or 4,
-            blocks=tuple(self.params["dec_blocks"] or (1, 1)),
-            growth_rate=self.params["dec_growth_rate"] or 4,
+            init_features=self._dec("dec_init_features", 4),
+            blocks=tuple(self._dec("dec_blocks", (1, 1))),
+            growth_rate=self._dec("dec_growth_rate", 4),
             drop_rate=self.params["droprate"],
             upsample="nearest", binary=self.params["binary_field"],
             homoscedastic=self.params["homoscedastic"],
@@ -265,18 +274,20 @@ class highres128(ModelFactory):
         # decoder up-sampling count adapts to the target resolution
         # (128 -> 4 blocks, 256 -> 5, ...)
         n_up = int(math.log2(target // 8))
-        dec_blocks = self.params["dec_blocks"] \
-            or tuple(([1, 2, 1, 1, 1, 1])[:n_up])
+        dec_blocks = self._dec("dec_blocks",
+                               tuple(([1, 2, 1, 1, 1, 1])[:n_up]))
         if len(dec_blocks) != n_up:
             raise ValueError(f"dec_blocks {dec_blocks} must have {n_up} "
                              f"entries for target {target}")
         decoder = CNNDecoder(
             target_img_size=target, dim_latent=self._gp("dim_latent"),
             latent_img_size=8, latent_img_features=2,
-            init_features=self.params["dec_init_features"] or 16,
+            init_features=self._dec("dec_init_features", 16),
             blocks=tuple(dec_blocks),
-            growth_rate=self.params["dec_growth_rate"] or 8,
+            growth_rate=self._dec("dec_growth_rate", 8),
             drop_rate=self.params["droprate"], upsample="nearest",
+            binary=self.params["binary_field"],
+            homoscedastic=self.params["homoscedastic"],
             pad_cin=self.params["codec_pad_cin"],
             compute_dtype=self._compute_dtype())
         enc_blocks = tuple([1, 2, 1, 1, 1][: max(2, n_up - 1)])

@@ -37,6 +37,11 @@ class PredictionEnsemble:
     def _decoder_module(self, final: bool):
         if final or self.compute_dtype is None:
             return None
+        if not hasattr(self.model.f, "compute_dtype"):
+            # decoders without a compute_dtype field (e.g. LinearDecoder)
+            # run at their own precision -- same guard as
+            # GenerativeModel._unsup_modules
+            return None
         return self.model.f.clone(compute_dtype=self.compute_dtype)
 
     def init(self, dtype=jnp.float32) -> Tuple[dict, optax.OptState]:

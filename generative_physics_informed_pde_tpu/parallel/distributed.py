@@ -147,10 +147,18 @@ def global_array_from_local(mesh, local_data, axis: str = "dp",
     (process-local data loading; the single-process no-op is device_put).
 
     ``local_data``: this process's contiguous block of the global batch
-    (rows ``local_shard_slice(N)``).  Pytrees map leaf-wise.
+    (rows ``local_shard_slice(N)``).  Pytrees map leaf-wise;
+    ``global_shape`` therefore only makes sense for a single-leaf input
+    (pass per-leaf shapes by calling per leaf).
     """
     import jax
     from jax.sharding import NamedSharding
+
+    if global_shape is not None and \
+            len(jax.tree_util.tree_leaves(local_data)) > 1:
+        raise ValueError(
+            "global_shape applies to every leaf; with a multi-leaf pytree "
+            "call per leaf (or omit it to infer per-leaf shapes)")
 
     def put(x):
         x = np.asarray(x)

@@ -95,9 +95,24 @@ def shard_data_dict(data, mesh: Mesh, axis: str = "dp"):
     addressable and takes the plain ``device_put`` path with the full
     host value."""
     sh = batch_sharding(mesh, axis)
+    spec_axes = tuple(a for ax in sh.spec for a in
+                      (ax if isinstance(ax, tuple) else (ax,)))
+    n_shards = int(np.prod([mesh.shape[a] for a in spec_axes]))
     spans = len({d.process_index for d in mesh.devices.flat}) > 1
     if not spans:
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), data)
+        repl = replicated(mesh)
+
+        def put_local(x):
+            # same replicate-fallback contract as the multi-process path:
+            # 0-d leaves and leading dims that don't divide the mesh
+            # batch axes are replicated, not an error
+            nd = getattr(x, "ndim", np.asarray(x).ndim)
+            shape = getattr(x, "shape", np.asarray(x).shape)
+            if nd == 0 or shape[0] % n_shards:
+                return jax.device_put(x, repl)
+            return jax.device_put(x, sh)
+
+        return jax.tree_util.tree_map(put_local, data)
     n_proc = jax.process_count()
     from .distributed import global_array_from_local, local_shard_slice
 
@@ -118,7 +133,7 @@ from ..utils.params import _path_matches as _path_contains  # noqa: E402
 
 
 def shard_train_state(state, mesh: Mesh, axis: str = "dp",
-                      data_indexed=("q_z", "q_X", "pe_q")):
+                      data_indexed=("q_z", "q_X", "pe_q", "pe_opt_state")):
     """Place a TrainState: leaves living under per-datapoint parameter
     blocks (q_z / q_X / the prediction-ensemble posterior) -- and their
     optimizer moments, which mirror the same tree paths -- are sharded on

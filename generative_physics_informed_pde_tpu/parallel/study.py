@@ -30,13 +30,18 @@ class DummyFuture:
         self._kwargs = kwargs
         self._results = None
         self._exception = None
+        # explicit done flag: keying "not yet computed" on _results is
+        # None would re-execute (and re-run side effects of) a function
+        # that legitimately returns None
+        self._done = False
 
     def compute(self):
-        if self._results is None and self._exception is None:
+        if not self._done:
             try:
                 self._results = self._f(*self._args, **self._kwargs)
             except Exception as e:  # noqa: BLE001 - parity with reference
                 self._exception = e
+            self._done = True
         if not self._catch_exceptions and self._exception is not None:
             raise self._exception
 
@@ -76,6 +81,34 @@ class DummyProcessPool:
         return DummyFuture(self._catch_exceptions, f, args, kwargs)
 
 
+class _ThreadFuture:
+    """Adapter giving a concurrent.futures.Future the DummyFuture duck
+    type: with exceptions activated (catch=False), ``exception()`` and
+    ``compute()`` RAISE the captured error instead of returning it --
+    code written against DummyProcessPool keys error handling on that."""
+
+    def __init__(self, fut, catch: bool):
+        self._fut = fut
+        self._catch = catch
+
+    def compute(self):
+        e = self._fut.exception()  # blocks until done
+        if e is not None and not self._catch:
+            raise e
+
+    def result(self):
+        return self._fut.result()
+
+    def done(self) -> bool:
+        return self._fut.done()
+
+    def exception(self):
+        e = self._fut.exception()
+        if e is not None and not self._catch:
+            raise e
+        return e
+
+
 class ThreadPool:
     """concurrent.futures-backed pool with the same duck type.  For JAX
     workloads threads suffice: python only dispatches, XLA executes."""
@@ -94,8 +127,10 @@ class ThreadPool:
         self._ex.shutdown(wait=True)
         return False
 
-    def submit(self, f, *args, **kwargs):
-        return self._ex.submit(f, *args, **kwargs)
+    def submit(self, f, *args, **kwargs) -> _ThreadFuture:
+        # catch flag bound at submit time, like DummyProcessPool
+        return _ThreadFuture(self._ex.submit(f, *args, **kwargs),
+                             self._catch)
 
 
 def sweep_over_devices(fn, case_args, mesh=None, axis: str = "dp"):

@@ -202,3 +202,67 @@ def test_conversions():
                                np.asarray(A.todense()), rtol=1e-12)
     D = convert_scipy_sparse_to_dense(A)
     np.testing.assert_allclose(np.asarray(D), np.asarray(A.todense()))
+
+
+def test_dummy_future_none_result_runs_once():
+    """A function legitimately returning None must execute exactly once
+    across compute()/result()/exception() (round-5 review: keying
+    done-ness on _results is None re-ran side effects)."""
+    calls = []
+
+    def fn():
+        calls.append(1)
+
+    pool = DummyProcessPool()
+    fut = pool.submit(fn)
+    assert fut.result() is None
+    assert fut.exception() is None
+    assert fut.result() is None
+    assert len(calls) == 1, calls
+
+
+def test_thread_pool_exception_duck_type():
+    """With exceptions activated, ThreadPool futures RAISE from
+    exception()/compute() like DummyFuture -- error handling written
+    against DummyProcessPool keys on that."""
+    def boom():
+        raise RuntimeError("case failed")
+
+    with ThreadPool(MAXWORKERS=1) as pool:
+        fut = pool.submit(boom)          # catching (default)
+        assert isinstance(fut.exception(), RuntimeError)
+        pool.activate_exceptions()
+        fut2 = pool.submit(boom)         # non-catching
+        with pytest.raises(RuntimeError, match="case failed"):
+            fut2.exception()
+        ok = pool.submit(lambda: 42)
+        assert ok.result() == 42 and ok.exception() is None
+
+
+def test_data_factory_cache_staleness(tmp_path, recwarn):
+    """The identifier-keyed disk cache must invalidate when the preset's
+    parameters change, not silently load stale data."""
+    from generative_physics_informed_pde_tpu.factories.data import (
+        DataFactory)
+    from generative_physics_informed_pde_tpu.fem import GaussianRandomField
+
+    class Tiny(DataFactory):
+        _identifier = "tinytest"
+        _N = 6
+        _N_unsupervised = 4
+        _rfs = GaussianRandomField.from_image(8, 8, 0.0, 1.0, 0.3)
+
+    path = str(tmp_path) + "/"
+    dl1, _ = Tiny(path=path).setup()
+    assert dl1.N == 6
+    # same params: cache hit, no warning
+    n_warn = len(recwarn)
+    dl2, _ = Tiny(path=path).setup()
+    assert dl2.N == 6 and len(recwarn) == n_warn
+    # changed N: stale cache detected, resampled
+    class Tiny2(Tiny):
+        _identifier = "tinytest"
+        _N = 10
+    with pytest.warns(RuntimeWarning, match="stale"):
+        dl3, _ = Tiny2(path=path).setup()
+    assert dl3.N == 10

@@ -612,6 +612,17 @@ def test_decode_knobs_consumed_by_every_preset():
         assert model.f.init_features == 10, ident
         assert encoder.pad_cin == 8, ident
 
+    # likelihood-shaping flags must reach the decoder in EVERY preset --
+    # a dropped binary_field builds a 2-channel decoder whose tuple
+    # output crashes the Bernoulli likelihood at trace time
+    for ident in ("highres", "highres32", "highres128"):
+        mf = ModelFactory.FromIdentifier(ident, homoscedastic=True)
+        _, model, _, _, _ = mf.setup()
+        assert model.f.homoscedastic, ident
+        mf2 = ModelFactory.FromIdentifier(ident, binary_field=True)
+        _, model2, _, _, _ = mf2.setup()
+        assert model2.f.binary, ident
+
 
 def test_decoder_force_single_output_returns_mean_only():
     """Single-channel non-binary decode returns the mean ALONE

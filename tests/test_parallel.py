@@ -432,3 +432,40 @@ def test_durable_sweep_result_types_uniform(tmp_path):
     out2 = sweep_over_processes(fn, [0, 1, 2, 3], checkpoint_path=path)
     assert all(isinstance(r["v"], list) for r in out2), out2
     assert out2[:3] == out1
+
+
+def test_shard_data_dict_replicates_awkward_leaves_single_process():
+    """The single-process path honors the same replicate-fallback
+    contract as the multi-process one: 0-d leaves and leading dims that
+    don't divide the mesh batch axes are replicated, not an error."""
+    mesh = make_mesh(8, ("dp",))
+    data = {"X": jnp.zeros((16, 4)), "n": jnp.asarray(5.0),
+            "odd": jnp.zeros((6, 4))}
+    out = shard_data_dict(data, mesh)
+    assert len(out["X"].sharding.device_set) == 8
+    assert out["n"].sharding.is_fully_replicated
+    assert out["odd"].sharding.is_fully_replicated
+
+
+def test_shard_train_state_shards_pe_opt_state_moments():
+    """The PE inner-Adam moments mirror pe_q's (N_val, d) layout and must
+    shard with it -- replicated moments pay resharding traffic against
+    the sharded q every fused PE update."""
+    from generative_physics_informed_pde_tpu.parallel import (
+        shard_train_state)
+
+    mesh = make_mesh(8, ("dp",))
+    state = {
+        "pe_q": {"mean": jnp.zeros((16, 4)), "logsigma": jnp.zeros((16, 4))},
+        "pe_opt_state": ({"count": jnp.asarray(0),
+                          "mu": {"mean": jnp.zeros((16, 4))}},),
+        "w": jnp.zeros((3, 3)),
+    }
+    out = shard_train_state(state, mesh)
+    assert len(out["pe_q"]["mean"].sharding.device_set) == 8
+    assert len(out["pe_opt_state"][0]["mu"]["mean"]
+               .sharding.device_set) == 8
+    assert not out["pe_opt_state"][0]["mu"]["mean"]\
+        .sharding.is_fully_replicated
+    assert out["pe_opt_state"][0]["count"].sharding.is_fully_replicated
+    assert out["w"].sharding.is_fully_replicated
